@@ -1,0 +1,97 @@
+"""Model configuration, hashing and workspace resolution.
+
+The model-hash directory name is load-bearing: evaluation and export tools
+glob <scene>/nerf/* and decode the training configuration from it. Strings
+are kept identical to the reference (autolabel/model_utils.py:21-58) so
+workspaces interoperate.
+"""
+import argparse
+import os
+import pickle
+
+from autolabel_tpu.models.field import Field, FieldConfig
+from autolabel_tpu.train import checkpoints
+
+
+def model_flag_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--lr', type=float, default=5e-3)
+    parser.add_argument('--geometric-features', '-g', type=int, default=15)
+    parser.add_argument('--encoding',
+                        default='hg+freq',
+                        choices=['freq', 'hg', 'hg+freq'],
+                        type=str,
+                        help="Network positional encoding to use.")
+    parser.add_argument('--features',
+                        type=str,
+                        default=None,
+                        choices=[None, 'fcn50', 'dino', 'lseg'],
+                        help="Use semantic feature supervision.")
+    parser.add_argument('--rgb-weight', default=1.0, type=float)
+    parser.add_argument('--semantic-weight', default=1.0, type=float)
+    parser.add_argument('--feature-weight', default=0.5, type=float)
+    parser.add_argument('--depth-weight', default=0.1, type=float)
+    parser.add_argument('--feature-dim', default=64, type=int)
+    return parser
+
+
+def model_hash(flags):
+    features = flags.features if flags.features is not None else 'plain'
+    string = f"g{flags.geometric_features}_{flags.encoding}_{features}"
+    string += (f"_rgb{flags.rgb_weight}_d{flags.depth_weight}"
+               f"_s{flags.semantic_weight}")
+    string += f"_f{flags.feature_weight}"
+    return string
+
+
+def model_dir(scene_path, flags):
+    mhash = model_hash(flags)
+    if getattr(flags, 'workspace', None) is None:
+        return os.path.join(scene_path, 'nerf', mhash)
+    scene_name = os.path.basename(os.path.normpath(flags.scene))
+    return os.path.join(flags.workspace, scene_name, mhash)
+
+
+def compute_bound(min_bounds, max_bounds):
+    """The reference's normalization-volume rule (model_utils.py:62-63):
+    bound = (extents - center).max(). Replicated deliberately — it defines
+    the world volume checkpoints were trained against."""
+    extents = max_bounds - min_bounds
+    return float((extents - (min_bounds + max_bounds) * 0.5).max())
+
+
+def create_model(min_bounds, max_bounds, n_classes, flags):
+    """Build the Field for a scene. Returns the Field (params are created
+    separately via field.init(key) — the functional split torch hides)."""
+    config = FieldConfig(encoding=flags.encoding,
+                         num_layers=2,
+                         num_layers_color=2,
+                         hidden_dim=128,
+                         hidden_dim_color=128,
+                         geo_feat_dim=flags.geometric_features,
+                         hidden_dim_semantic=flags.feature_dim,
+                         semantic_classes=n_classes,
+                         bound=compute_bound(min_bounds, max_bounds))
+    return Field(config)
+
+
+def load_checkpoint(checkpoint_dir):
+    """Load (params, ema_params) from a checkpoint dir; prefers best.pth.
+
+    Parity: autolabel/model_utils.py:9-18.
+    """
+    payload = checkpoints.load_checkpoint(checkpoint_dir)
+    if payload is None:
+        raise FileNotFoundError(f"No checkpoints in {checkpoint_dir}")
+    return payload['model'], payload.get('ema', payload['model'])
+
+
+def read_params(workspace):
+    with open(os.path.join(workspace, 'params.pkl'), 'rb') as f:
+        return pickle.load(f)
+
+
+def write_params(workspace, flags):
+    os.makedirs(workspace, exist_ok=True)
+    with open(os.path.join(workspace, 'params.pkl'), 'wb') as f:
+        pickle.dump(flags, f)

@@ -1,0 +1,159 @@
+"""The neural field: hash/frequency-encoded density, color, semantic and
+feature heads as one functional pytree model.
+
+TPU-native equivalent of ALNetwork (autolabel/models.py:62-265). Instead of
+an nn.Module owning CUDA submodules, the field is a frozen config plus pure
+functions over a params pytree — jit/grad/pjit compose over it directly.
+
+Head layout (parity with reference, model_utils.py:61-74 defaults):
+  encoder:   'freq' | 'hg' | 'hg+freq' positional encoding
+  sigma_net: enc_dim -> 128 x2 -> 1 + geo_feat_dim     (trunc_exp density)
+  color_net: sh16 + geo -> 128 x2 -> 3                 (sigmoid rgb)
+  semantic_features: geo -> S x2 -> S                  (distillation target)
+  semantic_out: relu(feat) + geo -> 64 x1 -> n_classes (softmax in renderer)
+"""
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from autolabel_tpu.ops.activation import trunc_exp
+from autolabel_tpu.ops.encoders import (HashGridConfig, frequency_encode,
+                                        hashgrid_encode, hashgrid_init,
+                                        sh_encode)
+from autolabel_tpu.ops.mlp import mlp_apply, mlp_init
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    encoding: str = 'hg+freq'
+    num_layers: int = 2
+    hidden_dim: int = 128
+    geo_feat_dim: int = 15
+    num_layers_color: int = 2
+    hidden_dim_color: int = 128
+    hidden_dim_semantic: int = 64
+    semantic_classes: int = 2
+    bound: float = 1.0
+    # Optional override of the hash-grid hyperparameters (tests / memory-
+    # constrained configs); None = reference-parity defaults per encoding.
+    grid: HashGridConfig = None
+
+    @property
+    def grid_config(self):
+        if self.grid is not None and self.encoding in ('hg', 'hg+freq'):
+            return self.grid
+        if self.encoding == 'hg':
+            # torch-ngp get_encoder('hashgrid', desired_resolution=2**18)
+            # (autolabel/models.py:143)
+            return HashGridConfig.from_desired_resolution(2 ** 18)
+        if self.encoding == 'hg+freq':
+            # tcnn Grid/Hash 16 levels x 2, T=2^19, base 16, scale 2.0
+            # (autolabel/models.py:38-48)
+            return HashGridConfig()
+        return None
+
+    @property
+    def encoder_dim(self):
+        if self.encoding == 'freq':
+            return 3 * 10 * 2
+        if self.encoding == 'hg':
+            return self.grid_config.out_dim
+        if self.encoding == 'hg+freq':
+            return 3 * 2 * 2 + self.grid_config.out_dim
+        raise NotImplementedError(f"Unknown input encoding {self.encoding}")
+
+
+class Field:
+    """Config + pure apply functions. Params live in a separate pytree."""
+
+    def __init__(self, config: FieldConfig):
+        self.config = config
+
+    def init(self, key) -> Params:
+        c = self.config
+        keys = jax.random.split(key, 5)
+        params = {
+            'sigma_net':
+                mlp_init(keys[0], c.encoder_dim, c.hidden_dim,
+                         1 + c.geo_feat_dim, c.num_layers),
+            'color_net':
+                mlp_init(keys[1], 16 + c.geo_feat_dim, c.hidden_dim_color, 3,
+                         c.num_layers_color),
+            'semantic_features':
+                mlp_init(keys[2], c.geo_feat_dim, c.hidden_dim_semantic,
+                         c.hidden_dim_semantic, 2),
+            'semantic_out':
+                mlp_init(keys[3], c.hidden_dim_semantic + c.geo_feat_dim, 64,
+                         c.semantic_classes, 1),
+        }
+        grid_config = c.grid_config
+        if grid_config is not None:
+            params['encoder'] = {'grid': hashgrid_init(keys[4], grid_config)}
+        else:
+            params['encoder'] = {}
+        return params
+
+    # -- encodings ---------------------------------------------------------
+
+    def encode(self, params: Params, x):
+        """Positional encoding of (N, 3) points in [-bound, bound]."""
+        c = self.config
+        bound = c.bound
+        normalized = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
+        if c.encoding == 'freq':
+            return frequency_encode(normalized, 10)
+        if c.encoding == 'hg':
+            return hashgrid_encode(params['encoder']['grid'], normalized,
+                                   c.grid_config)
+        if c.encoding == 'hg+freq':
+            # Frequency part runs on the raw coordinates, grid on the
+            # normalized ones (parity: autolabel/models.py:51-59).
+            freq = frequency_encode(x, 2)
+            grid = hashgrid_encode(params['encoder']['grid'], normalized,
+                                   c.grid_config)
+            return jnp.concatenate([freq, grid], axis=-1)
+        raise NotImplementedError(f"Unknown input encoding {c.encoding}")
+
+    # -- heads --------------------------------------------------------------
+
+    def density(self, params: Params, x):
+        """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
+        h = mlp_apply(params['sigma_net'], self.encode(params, x))
+        sigma = trunc_exp(h[..., 0])
+        return sigma, h[..., 1:]
+
+    def color(self, params: Params, d, geo_feat):
+        """Unit view dirs (N, 3) + geo features -> rgb (N, 3) in [0, 1]."""
+        h = jnp.concatenate(
+            [sh_encode(d), geo_feat.astype(jnp.float32)], axis=-1)
+        return jax.nn.sigmoid(mlp_apply(params['color_net'], h))
+
+    def semantic(self, params: Params, geo_feat):
+        """Geo features -> (class logits (N, C), features (N, S)).
+
+        Parity: ALNetwork.semantic (models.py:248-256) — the feature head
+        output doubles as the distillation target, the logits head sees
+        relu(features) concatenated with geo features.
+        """
+        sem_features = mlp_apply(params['semantic_features'],
+                                 geo_feat.astype(jnp.float32))
+        h = jnp.concatenate(
+            [jnp.maximum(sem_features, 0.0),
+             geo_feat.astype(jnp.float32)], axis=-1)
+        return mlp_apply(params['semantic_out'], h), sem_features
+
+    # -- param groups --------------------------------------------------------
+
+    @staticmethod
+    def param_labels(params: Params):
+        """'encoding' / 'net' labels for optimizer groups (weight decay is
+        applied to the nets only; parity: scripts/train.py:50-63)."""
+        return {
+            key: jax.tree.map(lambda _: 'encoding'
+                              if key == 'encoder' else 'net', value)
+            for key, value in params.items()
+        }

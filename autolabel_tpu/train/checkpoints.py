@@ -1,0 +1,57 @@
+"""Checkpoint I/O under the reference's directory contract.
+
+Files live at <scene>/nerf/<model-hash>/checkpoints/*.pth; the loader
+prefers best.pth, else the lexicographically-last file (parity:
+autolabel/model_utils.py:9-18, torch-ngp 'latest' resume). Payloads are
+plain pickles of numpy pytrees — no torch tensors — but keep the .pth
+suffix so every reference tool that globs the workspace keeps working.
+"""
+import glob
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, state, extra=None):
+    """state: dict with params/ema/opt_state/step pytrees."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        'model': _to_numpy(state['params']),
+        'ema': _to_numpy(state['ema']),
+        'optimizer': _to_numpy(state['opt_state']),
+        'global_step': int(state['step']),
+    }
+    if extra:
+        payload.update(extra)
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint_file(path):
+    with open(path, 'rb') as f:
+        return pickle.load(f)
+
+
+def find_checkpoint(checkpoint_dir):
+    """best.pth if present, else the lexicographically-last *.pth."""
+    checkpoint_list = sorted(glob.glob(f'{checkpoint_dir}/*.pth'))
+    if not checkpoint_list:
+        return None
+    best = [c for c in checkpoint_list if 'best.pth' in c]
+    return best[0] if best else checkpoint_list[-1]
+
+
+def load_checkpoint(checkpoint_dir):
+    """Returns the checkpoint payload dict, or None if none exists."""
+    path = find_checkpoint(checkpoint_dir)
+    if path is None:
+        return None
+    return load_checkpoint_file(path)

@@ -1,0 +1,244 @@
+"""Trainers: offline (SimpleTrainer) and interactive (InteractiveTrainer).
+
+TPU-native redesign of autolabel/trainer.py:14-218 plus the torch-ngp
+Trainer base it inherits (checkpointing, EMA, workspace, AMP). The whole
+optimization step — render, loss, backward, Adam update — is ONE jitted
+function over pytrees; bf16 compute replaces AMP+GradScaler; EMA is a tree
+lerp. With a device mesh the same step runs data-parallel: params
+replicated, ray batch sharded over 'data', XLA inserts the gradient psum.
+"""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from autolabel_tpu.render.renderer import (RenderOptions, StagedRenderer,
+                                           render_rays)
+from autolabel_tpu.train import checkpoints
+from autolabel_tpu.train.losses import LossOptions, compute_losses
+from autolabel_tpu.train.optim import make_optimizer
+
+_BATCH_KEYS = ('rays_o', 'rays_d', 'direction_norms', 'pixels', 'depth',
+               'semantic')
+
+
+def _make_step(field, tx, loss_options, render_options):
+    """Build the jitted train step: (state, batch, key) -> (state, losses)."""
+
+    def loss_fn(params, batch, key):
+        outputs = render_rays(field, params, batch['rays_o'],
+                              batch['rays_d'], batch['direction_norms'],
+                              key=key, options=render_options)
+        return compute_losses(outputs, batch, loss_options)
+
+    def step(state, batch, base_key):
+        key = jax.random.fold_in(base_key, state['step'])
+        (loss, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state['params'], batch, key)
+        updates, opt_state = tx.update(grads, state['opt_state'],
+                                       state['params'])
+        params = optax.apply_updates(state['params'], updates)
+        new_state = {
+            'params': params,
+            'opt_state': opt_state,
+            'ema': state['ema'],
+            'step': state['step'] + 1,
+        }
+        parts = dict(parts, total=loss)
+        return new_state, parts
+
+    return step
+
+
+def _ema_update(state, decay):
+    ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                       state['ema'], state['params'])
+    return dict(state, ema=ema)
+
+
+class SimpleTrainer:
+    """Offline trainer: epochs of 1000 iterations, per-epoch EMA +
+    checkpoint, staged eval renders. Parity: autolabel/trainer.py:14-160 +
+    torch-ngp Trainer services."""
+
+    def __init__(self,
+                 name,
+                 field,
+                 lr=5e-3,
+                 iters=10000,
+                 loss_options=None,
+                 render_options=None,
+                 workspace=None,
+                 ema_decay=0.95,
+                 use_checkpoint='latest',
+                 mesh=None,
+                 max_ray_batch=4096,
+                 seed=0):
+        self.name = name
+        self.field = field
+        self.workspace = workspace
+        self.ema_decay = ema_decay
+        self.mesh = mesh
+        self.loss_options = loss_options or LossOptions()
+        self.render_options = render_options or RenderOptions(perturb=True)
+        self.epoch = 0
+        self.global_step = 0
+
+        params = field.init(jax.random.PRNGKey(seed))
+        self.tx = make_optimizer(params, lr=lr, iters=iters)
+        self.state = {
+            'params': params,
+            'opt_state': self.tx.init(params),
+            # Distinct buffers — params and ema are both donated by the
+            # jitted step and may not alias.
+            'ema': jax.tree.map(jnp.copy, params),
+            'step': jnp.zeros((), jnp.int32),
+        }
+        self._base_key = jax.random.PRNGKey(seed + 1)
+
+        step = _make_step(field, self.tx, self.loss_options,
+                          self.render_options)
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P('data'))
+            self._train_step = jax.jit(
+                step,
+                donate_argnums=0,
+                in_shardings=(replicated, self._batch_sharding, replicated),
+                out_shardings=(replicated, replicated))
+        else:
+            self._train_step = jax.jit(step, donate_argnums=0)
+
+        self._ema_step = jax.jit(_ema_update, static_argnums=1,
+                                 donate_argnums=0)
+        self._staged = StagedRenderer(
+            field,
+            RenderOptions(num_steps=self.render_options.num_steps,
+                          upsample_steps=self.render_options.upsample_steps,
+                          perturb=False),
+            max_ray_batch=max_ray_batch)
+
+        if workspace is not None and use_checkpoint == 'latest':
+            self._try_resume()
+
+    # -- checkpointing -----------------------------------------------------
+
+    @property
+    def checkpoint_dir(self):
+        return os.path.join(self.workspace, 'checkpoints')
+
+    def _try_resume(self):
+        payload = checkpoints.load_checkpoint(self.checkpoint_dir)
+        if payload is None:
+            return
+        self.state = {
+            'params': payload['model'],
+            'ema': payload['ema'],
+            'opt_state': payload['optimizer'],
+            'step': jnp.asarray(payload['global_step'], jnp.int32),
+        }
+        self.global_step = payload['global_step']
+        self.epoch = payload.get('epoch', self.global_step // 1000)
+
+    def save_checkpoint(self, name=None):
+        if self.workspace is None:
+            return
+        if name is None:
+            name = f'{self.name}_ep{self.epoch:04d}'
+        path = os.path.join(self.checkpoint_dir, f'{name}.pth')
+        state = dict(self.state, step=self.global_step)
+        checkpoints.save_checkpoint(path, state, extra={'epoch': self.epoch})
+
+    # -- training ----------------------------------------------------------
+
+    def _device_batch(self, data):
+        batch = {k: data[k] for k in _BATCH_KEYS}
+        if self.loss_options.feature_loss:
+            batch['features'] = data['features']
+        batch['direction_norms'] = batch['direction_norms'].reshape(-1)[:,
+                                                                        None]
+        if self._batch_sharding is not None:
+            batch = jax.device_put(batch, self._batch_sharding)
+        return batch
+
+    def train(self, dataloader, epochs):
+        for _ in range(epochs):
+            self.train_iterations(dataloader, 1000)
+            self.epoch += 1
+            self.save_checkpoint()
+
+    def train_iterations(self, dataloader, iterations, progress=True):
+        iterator = iter(dataloader)
+        losses = None
+        for _ in range(iterations):
+            data = next(iterator)
+            self.state, losses = self._train_step(
+                self.state, self._device_batch(data), self._base_key)
+            self.global_step += 1
+        self.state = self._ema_step(self.state, self.ema_decay)
+        if losses is not None:
+            return float(jax.device_get(losses['total']))
+        return None
+
+    # -- inference ---------------------------------------------------------
+
+    def eval_params(self):
+        """Live parameters — the reference's preview/eval path renders the
+        raw model (backend.py:123-152 calls test_step directly); EMA is
+        kept separately in state['ema'] for checkpoint consumers."""
+        return self.state['params']
+
+    def test_step(self, data, use_ema=False):
+        """Full-frame staged render -> (rgb, depth, semantic probs,
+        features), shapes (H, W, ...). Parity: trainer.py:96-116."""
+        params = self.state['ema'] if use_ema else self.state['params']
+        out = self._staged.render(params, data['rays_o'], data['rays_d'],
+                                  data['direction_norms'].reshape(
+                                      *data['rays_o'].shape[:-1]))
+        return out['image'], out['depth'], out['semantic'], out[
+            'semantic_features']
+
+    def eval_step(self, data):
+        """Render one eval frame and compute the validation loss terms."""
+        params = self.eval_params()
+        out = self._staged.render(params, data['rays_o'], data['rays_d'],
+                                  data['direction_norms'].reshape(
+                                      *data['rays_o'].shape[:-1]))
+        gt_rgb = np.asarray(data['pixels'])
+        loss = float(np.mean((out['image'] - gt_rgb) ** 2))
+        return out, loss
+
+
+class InteractiveTrainer(SimpleTrainer):
+    """Single-step trainer for the paint->train->preview loop. EMA and lr
+    schedule tick every 100 steps. Parity: autolabel/trainer.py:163-218."""
+
+    EMA_EVERY = 100
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault('iters', None)  # ConstantLR (backend.py:55-56)
+        super().__init__(*args, **kwargs)
+        self.iterator = None
+        self.step = 0
+
+    def init(self, dataloader):
+        self.iterator = iter(dataloader)
+        self.step = 0
+
+    def take_step(self):
+        data = next(self.iterator)
+        self.state, losses = self._train_step(
+            self.state, self._device_batch(data), self._base_key)
+        self.global_step += 1
+        self.step += 1
+        if self.step % self.EMA_EVERY == 0:
+            self.state = self._ema_step(self.state, self.ema_decay)
+        return losses
+
+    def dataset_updated(self, loader):
+        self.iterator = iter(loader)

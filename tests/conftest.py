@@ -1,0 +1,32 @@
+"""Test config: force JAX onto a virtual 8-device CPU platform BEFORE jax
+imports, so multi-chip sharding paths are exercised without TPU hardware."""
+import os
+
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# The axon sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon baked in; jax.config is the only override that still
+# works at this point.
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+from tests.synthetic import make_synthetic_scene
+
+
+@pytest.fixture(scope='session')
+def sphere_scene(tmp_path_factory):
+    """A tiny procedural sphere scene in the scene-directory format."""
+    scene_dir = tmp_path_factory.mktemp('scenes') / 'sphere'
+    make_synthetic_scene(str(scene_dir), n_frames=12, width=48, height=36)
+    return str(scene_dir)

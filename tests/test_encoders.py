@@ -1,0 +1,91 @@
+"""Encoder correctness: frequency, spherical harmonics, hash grid."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autolabel_tpu.ops.encoders import (HashGridConfig, frequency_encode,
+                                        hashgrid_encode, hashgrid_init,
+                                        sh_encode)
+
+SMALL = HashGridConfig(n_levels=4,
+                       n_features=2,
+                       log2_hashmap_size=10,
+                       base_resolution=4,
+                       per_level_scale=2.0)
+
+
+def test_frequency_shapes_and_values():
+    x = jnp.array([[0.25, 0.5, 1.0]])
+    out = frequency_encode(x, 2)
+    assert out.shape == (1, 12)
+    # First frequency of the first dim: sin(pi * 0.25), cos(pi * 0.25).
+    np.testing.assert_allclose(out[0, 0], np.sin(np.pi * 0.25), atol=1e-6)
+    np.testing.assert_allclose(out[0, 2], np.cos(np.pi * 0.25), atol=1e-6)
+
+
+def test_sh_norm_and_dc():
+    d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    out = sh_encode(d)
+    assert out.shape == (2, 16)
+    np.testing.assert_allclose(out[:, 0], 0.28209479, atol=1e-6)
+
+
+def test_hashgrid_shapes():
+    table = hashgrid_init(jax.random.PRNGKey(0), SMALL)
+    assert table.shape == (4, 1024, 2)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    out = hashgrid_encode(table, x, SMALL)
+    assert out.shape == (32, 8)
+    assert jnp.isfinite(out).all()
+
+
+def test_hashgrid_interpolation_continuity():
+    """Output must be continuous in x (trilinear interpolation)."""
+    table = hashgrid_init(jax.random.PRNGKey(0), SMALL) * 1e4  # O(1) values
+    x = jnp.array([[0.3, 0.4, 0.5]])
+    eps = 1e-5
+    x2 = x + eps
+    a = hashgrid_encode(table, x, SMALL)
+    b = hashgrid_encode(table, x2, SMALL)
+    assert jnp.abs(a - b).max() < 1e-2
+
+
+def test_hashgrid_grad_flows_to_table():
+    table = hashgrid_init(jax.random.PRNGKey(0), SMALL)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+
+    def loss(t):
+        return hashgrid_encode(t, x, SMALL).sum()
+
+    g = jax.grad(loss)(table)
+    assert g.shape == table.shape
+    assert jnp.abs(g).sum() > 0
+    # Each point touches 8 corners per level; weights sum to 1 per level.
+    np.testing.assert_allclose(float(g.sum()),
+                               16 * SMALL.n_levels * SMALL.n_features,
+                               rtol=1e-4)
+
+
+def test_hashgrid_corners_exact():
+    """At an exact grid vertex the encoding equals the table entry."""
+    cfg = HashGridConfig(n_levels=1,
+                         n_features=2,
+                         log2_hashmap_size=10,
+                         base_resolution=4,
+                         per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(2), cfg)
+    # Vertex (1, 2, 3) of the level-0 grid (res 4 -> dense stride 5).
+    x = jnp.array([[1 / 4, 2 / 4, 3 / 4]])
+    out = hashgrid_encode(table, x, cfg)
+    idx = 1 + 5 * (2 + 5 * 3)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               np.asarray(table[0, idx]),
+                               atol=1e-6)
+
+
+def test_desired_resolution_scale():
+    cfg = HashGridConfig.from_desired_resolution(2 ** 18)
+    res = cfg.resolutions
+    assert res[0] == 16
+    assert abs(res[-1] - 2 ** 18) / 2 ** 18 < 0.01

@@ -1,0 +1,95 @@
+"""Data-parallel training over the virtual 8-device CPU mesh.
+
+Tiny shapes on purpose: the CI host is single-core and XLA's CPU
+collective rendezvous aborts if 8 serialized replica computations exceed
+its 40 s timeout. The full-size multi-chip path is exercised by
+__graft_entry__.dryrun_multichip.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autolabel_tpu.models.field import Field, FieldConfig
+from autolabel_tpu.ops.encoders import HashGridConfig
+from autolabel_tpu.parallel import batch_sharding, make_mesh, replicated
+from autolabel_tpu.render.renderer import RenderOptions
+from autolabel_tpu.train.losses import LossOptions
+from autolabel_tpu.train.trainer import SimpleTrainer
+
+TINY_GRID = HashGridConfig(n_levels=4,
+                           n_features=2,
+                           log2_hashmap_size=12,
+                           base_resolution=8,
+                           per_level_scale=1.5)
+
+
+def _tiny_field():
+    return Field(
+        FieldConfig(encoding='hg+freq',
+                    hidden_dim=32,
+                    hidden_dim_color=32,
+                    hidden_dim_semantic=8,
+                    geo_feat_dim=7,
+                    semantic_classes=2,
+                    bound=1.0,
+                    grid=TINY_GRID))
+
+
+def _tiny_batch(n):
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return {
+        'rays_o': np.zeros((n, 3), np.float32),
+        'rays_d': d,
+        'direction_norms': np.ones((n, 1), np.float32),
+        'pixels': rng.random((n, 3)).astype(np.float32),
+        'depth': rng.random(n).astype(np.float32),
+        'semantic': rng.integers(-1, 2, n).astype(np.int32),
+    }
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_dp_train_step_runs_and_matches_single_device():
+    mesh = make_mesh(8)
+    field = _tiny_field()
+    batch = _tiny_batch(64)
+
+    def make(mesh):
+        return SimpleTrainer('ngp',
+                             field,
+                             iters=1000,
+                             loss_options=LossOptions(),
+                             render_options=RenderOptions(num_steps=8),
+                             workspace=None,
+                             mesh=mesh,
+                             seed=3)
+
+    dp = make(mesh)
+    single = make(None)
+    for _ in range(2):
+        dp.state, dp_losses = dp._train_step(dp.state,
+                                             dp._device_batch(batch),
+                                             dp._base_key)
+        single.state, s_losses = single._train_step(
+            single.state, single._device_batch(batch), single._base_key)
+    # Same math, different partitioning: losses must agree closely.
+    np.testing.assert_allclose(float(dp_losses['total']),
+                               float(s_losses['total']),
+                               rtol=1e-3)
+    # Params stay replicated and finite.
+    leaf = jax.tree.leaves(dp.state['params'])[0]
+    assert jnp.isfinite(leaf).all()
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh(8)
+    sharding = batch_sharding(mesh)
+    x = jax.device_put(np.zeros((64, 3), np.float32), sharding)
+    assert x.sharding.is_equivalent_to(sharding, ndim=2)
+    shard_shapes = {s.data.shape for s in x.addressable_shards}
+    assert shard_shapes == {(8, 3)}

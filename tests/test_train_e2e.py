@@ -1,0 +1,126 @@
+"""End-to-end: train the synthetic sphere scene and verify the field
+actually learns — radiance, depth and semantics all improve. This is the
+test the reference never had (SURVEY.md §4). Uses a reduced hash grid so it
+runs in seconds on the single-core CI host; the full-size path is covered
+by bench.py on TPU."""
+import jax
+import numpy as np
+import pytest
+
+from autolabel_tpu import model_utils
+from autolabel_tpu.core.dataset import SceneDataset
+from autolabel_tpu.models.field import Field, FieldConfig
+from autolabel_tpu.ops.encoders import HashGridConfig
+from autolabel_tpu.render.renderer import RenderOptions
+from autolabel_tpu.train.losses import LossOptions
+from autolabel_tpu.train.trainer import InteractiveTrainer, SimpleTrainer
+
+SMALL_GRID = HashGridConfig(n_levels=8,
+                            n_features=2,
+                            log2_hashmap_size=15,
+                            base_resolution=16,
+                            per_level_scale=1.6)
+
+
+class _Flags:
+    encoding = 'hg+freq'
+    geometric_features = 15
+    feature_dim = 16
+    features = None
+
+
+def _small_field(dataset):
+    bound = model_utils.compute_bound(dataset.min_bounds,
+                                      dataset.max_bounds)
+    config = FieldConfig(encoding='hg+freq',
+                         hidden_dim=64,
+                         hidden_dim_color=64,
+                         hidden_dim_semantic=16,
+                         semantic_classes=dataset.n_classes,
+                         bound=bound,
+                         grid=SMALL_GRID)
+    return Field(config)
+
+
+@pytest.fixture(scope='module')
+def sphere_dataset(sphere_scene):
+    return SceneDataset('train', sphere_scene, factor=1.0, batch_size=512)
+
+
+def test_create_model_reference_config(sphere_dataset):
+    field = model_utils.create_model(sphere_dataset.min_bounds,
+                                     sphere_dataset.max_bounds,
+                                     sphere_dataset.n_classes, _Flags())
+    c = field.config
+    assert c.hidden_dim == 128 and c.num_layers == 2
+    assert c.grid_config.table_size == 2 ** 19
+    # bound rule: extents (2) minus center (0) -> 2.0
+    assert c.bound == 2.0
+
+
+def test_training_improves_all_losses(sphere_dataset, tmp_path):
+    dataset = sphere_dataset
+    field = _small_field(dataset)
+    trainer = SimpleTrainer('ngp',
+                            field,
+                            lr=5e-3,
+                            iters=1000,
+                            loss_options=LossOptions(),
+                            render_options=RenderOptions(num_steps=48,
+                                                         perturb=True),
+                            workspace=str(tmp_path / 'ws'),
+                            mesh=None)
+
+    iterator = iter(dataset)
+
+    def run(n):
+        losses = {}
+        for _ in range(n):
+            batch = next(iterator)
+            trainer.state, losses = trainer._train_step(
+                trainer.state, trainer._device_batch(batch),
+                trainer._base_key)
+            trainer.global_step += 1
+        return {k: float(v) for k, v in jax.device_get(losses).items()}
+
+    first = run(10)
+    last = run(250)
+
+    assert last['rgb'] < first['rgb'] * 0.6, (first, last)
+    assert last['depth'] < first['depth'] * 0.6, (first, last)
+    assert last['semantic'] < first['semantic'], (first, last)
+    psnr = -10.0 * np.log10(last['rgb'])
+    assert psnr > 13.0, psnr
+
+    # Checkpoint roundtrip under the workspace contract.
+    trainer.state = trainer._ema_step(trainer.state, trainer.ema_decay)
+    trainer.epoch = 1
+    trainer.save_checkpoint()
+    params, ema = model_utils.load_checkpoint(trainer.checkpoint_dir)
+    assert len(jax.tree.leaves(params)) == len(
+        jax.tree.leaves(trainer.state['params']))
+
+    # A resumed trainer picks the checkpoint up.
+    resumed = SimpleTrainer('ngp',
+                            field,
+                            iters=1000,
+                            workspace=str(tmp_path / 'ws'),
+                            mesh=None)
+    assert resumed.global_step == trainer.global_step
+
+
+def test_interactive_trainer_steps(sphere_dataset):
+    dataset = sphere_dataset
+    field = _small_field(dataset)
+    trainer = InteractiveTrainer('ngp',
+                                 field,
+                                 lr=5e-3,
+                                 loss_options=LossOptions(),
+                                 render_options=RenderOptions(num_steps=32,
+                                                              perturb=True),
+                                 workspace=None)
+    trainer.init(dataset)
+    for _ in range(5):
+        losses = trainer.take_step()
+    assert np.isfinite(float(losses['total']))
+    assert trainer.step == 5
