@@ -1,0 +1,104 @@
+"""Benchmark: steady-state training throughput of the flagship config.
+
+Measures rays/sec of the full jitted train step (render + all four losses +
+Adam) on the reference workload shape: batch 4096 rays, 128 samples/ray,
+hg+freq encoding (16x2 hash grid T=2^19 + freq), 128-wide heads — the
+configuration scripts/train.py runs by default (reference
+scripts/train.py:17, autolabel/dataset.py:171).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
+denominator is the reference's implied throughput from its default
+schedule: torch-ngp-style training runs 10k iterations of 4096 rays in
+roughly 7 minutes on the CUDA GPUs of its era, i.e. ~24 iters/s ~ 100k
+rays/s. We use 100_000 rays/s as the provisional baseline until the
+reference is profiled directly.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 100_000.0
+
+BATCH = 4096
+NUM_STEPS = 128
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from autolabel_tpu.models.field import Field, FieldConfig
+    from autolabel_tpu.render.renderer import RenderOptions, render_rays
+    from autolabel_tpu.train.losses import LossOptions, compute_losses
+    from autolabel_tpu.train.optim import make_optimizer
+    import optax
+
+    field = Field(
+        FieldConfig(encoding='hg+freq',
+                    hidden_dim=128,
+                    hidden_dim_color=128,
+                    hidden_dim_semantic=64,
+                    semantic_classes=6,
+                    bound=2.0))
+    params = field.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=5e-3, iters=10000)
+    opt_state = tx.init(params)
+
+    loss_options = LossOptions()
+    render_options = RenderOptions(num_steps=NUM_STEPS, perturb=True)
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(BATCH, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    batch = {
+        'rays_o': jnp.asarray(rng.uniform(-0.5, 0.5, (BATCH, 3)),
+                              jnp.float32),
+        'rays_d': jnp.asarray(d),
+        'direction_norms': jnp.ones((BATCH, 1), jnp.float32),
+        'pixels': jnp.asarray(rng.random((BATCH, 3)), jnp.float32),
+        'depth': jnp.asarray(rng.uniform(0.5, 2.0, BATCH), jnp.float32),
+        'semantic': jnp.asarray(rng.integers(-1, 6, BATCH), jnp.int32),
+    }
+
+    def loss_fn(p, batch, key):
+        out = render_rays(field, p, batch['rays_o'], batch['rays_d'],
+                          batch['direction_norms'], key=key,
+                          options=render_options)
+        loss, _ = compute_losses(out, batch, loss_options)
+        return loss
+
+    @jax.jit
+    def step(p, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    # Warmup / compile.
+    params, opt_state, loss = step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+
+    iters = 50
+    start = time.perf_counter()
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        params, opt_state, loss = step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - start
+
+    rays_per_sec = BATCH * iters / elapsed
+    print(json.dumps({
+        'metric': 'train_rays_per_sec',
+        'value': round(rays_per_sec, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()
