@@ -1,0 +1,121 @@
+"""GUI backend: the child process that trains forever, re-reads repainted
+label PNGs, and streams preview renders back over a Pipe.
+
+Message protocol parity (autolabel/backend.py:97-164): receives
+('update_image', idx) / ('get_image', idx) / ('checkpoint', None); sends
+('image', {image_index, rgb, depth, semantic, features}). The disk is part
+of the protocol — labels travel as PNG paths, not pixels.
+"""
+import os
+import pickle
+
+import h5py
+import numpy as np
+
+from autolabel_tpu import model_utils
+from autolabel_tpu.core.dataset import SceneDataset
+from autolabel_tpu.render.renderer import RenderOptions
+from autolabel_tpu.train.losses import LossOptions
+from autolabel_tpu.train.trainer import InteractiveTrainer
+
+
+class TrainingLoop:
+
+    def __init__(self, scene, flags, connection, dataset_factor=4.0):
+        self.scene_path = scene
+        self.flags = flags
+        model_hash = model_utils.model_hash(flags)
+        self.workspace = os.path.join(scene, 'nerf', model_hash)
+        self._load_pca()
+        self.train_dataset = SceneDataset('train',
+                                          scene,
+                                          factor=dataset_factor,
+                                          batch_size=flags.batch_size,
+                                          features=flags.features)
+        n_classes = (self.train_dataset.n_classes
+                     if self.train_dataset.n_classes is not None else 2)
+        self.field = model_utils.create_model(self.train_dataset.min_bounds,
+                                              self.train_dataset.max_bounds,
+                                              n_classes, flags)
+        loss_options = LossOptions(rgb_weight=flags.rgb_weight,
+                                   depth_weight=flags.depth_weight,
+                                   semantic_weight=flags.semantic_weight,
+                                   feature_weight=flags.feature_weight,
+                                   feature_loss=flags.features is not None)
+        self.trainer = InteractiveTrainer(
+            'ngp',
+            self.field,
+            lr=flags.lr,
+            loss_options=loss_options,
+            render_options=RenderOptions(num_steps=128, perturb=True),
+            workspace=self.workspace,
+            ema_decay=0.95,
+            use_checkpoint='latest')
+        self.done = False
+        self.connection = connection
+
+    def _load_pca(self):
+        feature_path = os.path.join(self.scene_path, 'features.hdf')
+        if self.flags.features is None or not os.path.exists(feature_path):
+            self.pca = None
+            return
+        with h5py.File(feature_path, 'r') as f:
+            features = f[f'features/{self.flags.features}']
+            self.pca = pickle.loads(features.attrs['pca'].tobytes())
+            self.feature_min = features.attrs['min']
+            self.feature_range = features.attrs['range']
+
+    def run(self):
+        self.trainer.init(self.train_dataset)
+        while not self.done:
+            self._check_messages()
+            self.trainer.take_step()
+
+    def _check_messages(self):
+        get_image_message = None
+        while self.connection.poll():
+            message_type, data = self.connection.recv()
+            if message_type == 'update_image':
+                self._update_image(data)
+            elif message_type == 'get_image':
+                # Only the latest image request is relevant.
+                get_image_message = data
+            elif message_type == 'checkpoint':
+                self._save_checkpoint()
+        if get_image_message is not None:
+            self._get_image(get_image_message)
+
+    def _get_image(self, image_index):
+        data = self.train_dataset._get_test(image_index)
+        p_rgb, p_depth, p_semantic, p_features = self.trainer.test_step(data)
+        semantic = p_semantic.argmax(axis=-1)
+
+        if self.pca is not None:
+            H, W, C = p_features.shape
+            features = self.pca.transform(p_features.reshape(H * W, C))
+            features = np.clip(
+                (features - self.feature_min) / self.feature_range, 0.0, 1.0)
+            features = features.reshape(H, W, 3)
+        else:
+            features = None
+
+        self.log(f"Sending {image_index}")
+        self.connection.send(('image', {
+            'image_index': image_index,
+            'rgb': np.asarray(p_rgb),
+            'depth': np.asarray(p_depth),
+            'semantic': np.asarray(semantic),
+            'features': features,
+        }))
+
+    def _update_image(self, image_index):
+        self.train_dataset.semantic_map_updated(image_index)
+
+    def _save_checkpoint(self):
+        self.trainer.save_checkpoint(name='best')
+
+    def log(self, message):
+        print(message)
+
+    def shutdown(self, *args):
+        self.done = True

@@ -85,10 +85,10 @@ class BaseDataset:
         self.resolution = self.w * self.h
         self.intrinsics = np.array(
             [camera.fx, camera.fy, camera.cx, camera.cy])
+        # Batches are assembled in whole chunks; a non-multiple batch_size
+        # is truncated down (reference semantics, dataset.py:183-184).
         self.sample_chunk_size = min(512, batch_size)
-        assert batch_size % self.sample_chunk_size == 0, (
-            f"batch_size {batch_size} must be a multiple of the "
-            f"{self.sample_chunk_size}-ray sample chunk")
+        assert batch_size >= self.sample_chunk_size
         self.index_sampler = IndexSampler()
         self.rng = np.random.default_rng()
 

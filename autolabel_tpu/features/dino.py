@@ -1,0 +1,51 @@
+"""DINO ViT-S/8 feature teacher.
+
+Parity: autolabel/features/dino.py:9-27 (torch hub dino_vits8, last-layer
+patch tokens -> H/8 x W/8 x 384). Pretrained weights need network access;
+without them a deterministic fallback with the same output contract is
+used (see fallback.py).
+"""
+import warnings
+
+import numpy as np
+
+from autolabel_tpu.features.fallback import RandomFeatureExtractor
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class Dino:
+    out_dim = 384
+
+    def __init__(self):
+        self._model = None
+        try:
+            import torch
+            self._model = torch.hub.load('facebookresearch/dino:main',
+                                         'dino_vits8')
+            self._model.eval()
+            self._torch = torch
+        except Exception as e:  # offline / no weights
+            warnings.warn(
+                f"DINO weights unavailable ({e!r}); using deterministic "
+                "fallback features.")
+            self._fallback = RandomFeatureExtractor(self.out_dim, stride=8,
+                                                    seed=384)
+
+    def shape(self, input_shape):
+        return (input_shape[0] // 8, input_shape[1] // 8)
+
+    def __call__(self, x):
+        """x: (B, 3, H, W) float in [0, 1] -> (B, H/8, W/8, 384)."""
+        if self._model is None:
+            return self._fallback(x)
+        torch = self._torch
+        with torch.inference_mode():
+            t = torch.as_tensor(np.asarray(x, np.float32))
+            t = (t - torch.as_tensor(_IMAGENET_MEAN)[None, :, None, None]) \
+                / torch.as_tensor(_IMAGENET_STD)[None, :, None, None]
+            tokens = self._model.get_intermediate_layers(t)[0]
+            B, _, H, W = t.shape
+            return tokens[:, 1:, :].reshape(B, H // 8, W // 8,
+                                            self.out_dim).cpu().numpy()

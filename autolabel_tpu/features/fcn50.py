@@ -1,0 +1,52 @@
+"""FCN-ResNet50 feature teacher.
+
+Parity: autolabel/features/fcn50.py:9-29 (torchvision fcn_resnet50, the
+'classifier.2' node -> 512-channel maps at stride 8). Falls back to a
+deterministic extractor offline.
+"""
+import warnings
+
+import numpy as np
+
+from autolabel_tpu.features.fallback import RandomFeatureExtractor
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class FCN50:
+    out_dim = 512
+
+    def __init__(self):
+        self._extractor = None
+        try:
+            import torch
+            from torchvision.models import feature_extraction
+            from torchvision.models.segmentation import fcn_resnet50
+            model = fcn_resnet50(weights='DEFAULT')
+            model.eval()
+            self._extractor = feature_extraction.create_feature_extractor(
+                model, return_nodes={'classifier.2': 'features'})
+            self._torch = torch
+        except Exception as e:
+            warnings.warn(
+                f"FCN-ResNet50 weights unavailable ({e!r}); using "
+                "deterministic fallback features.")
+            self._fallback = RandomFeatureExtractor(self.out_dim, stride=8,
+                                                    seed=512)
+
+    def shape(self, input_shape):
+        return (input_shape[0] // 8, input_shape[1] // 8)
+
+    def __call__(self, x):
+        """x: (B, 3, H, W) float in [0, 1] -> (B, H/8, W/8, 512)."""
+        if self._extractor is None:
+            return self._fallback(x)
+        torch = self._torch
+        with torch.inference_mode():
+            t = torch.as_tensor(np.asarray(x, np.float32))
+            t = (t - torch.as_tensor(_IMAGENET_MEAN)[None, :, None, None]) \
+                / torch.as_tensor(_IMAGENET_STD)[None, :, None, None]
+            out = self._extractor(t)['features']
+            return out.cpu().numpy().transpose([0, 2, 3, 1]).astype(
+                np.float16)

@@ -1,0 +1,87 @@
+"""LSeg vision-language feature teacher + CLIP text encoder.
+
+Parity: autolabel/features/lseg.py:9-66 (lang-seg ViT-L/16 backbone,
+half-resolution 512-d pixel features aligned with CLIP text embeddings;
+encode_text -> unit-norm N x 512). The lang-seg package and CLIP weights
+require a checkpoint + network; offline, deterministic fallbacks keep the
+open-vocab pipeline runnable end to end.
+"""
+import warnings
+
+from autolabel_tpu.features.fallback import (HashTextEncoder,
+                                             RandomFeatureExtractor)
+
+
+class LSegFE:
+    out_dim = 512
+
+    def __init__(self, checkpoint=None):
+        self._evaluator = None
+        self._text_encoder = None
+        try:
+            import clip  # noqa: F401
+            import torch
+            from modules.lseg_module import LSegModule
+            from additional_utils.models import LSeg_MultiEvalModule
+            module = LSegModule.load_from_checkpoint(
+                checkpoint_path=checkpoint,
+                backbone='clip_vitl16_384',
+                data_path=None,
+                num_features=256,
+                batch_size=1,
+                base_lr=1e-3,
+                max_epochs=100,
+                augment=False,
+                aux=True,
+                aux_weight=0,
+                ignore_index=255,
+                dataset='ade20k',
+                se_loss=False,
+                se_weight=0,
+                arch_option=0,
+                block_depth=0,
+                activation='lrelu')
+            self._evaluator = LSeg_MultiEvalModule(module, scales=[1.0],
+                                                   flip=False).eval()
+            self._clip = clip
+            self._torch = torch
+            self._text_encoder = module.net.clip_pretrained
+        except Exception as e:
+            warnings.warn(
+                f"LSeg unavailable ({e!r}); using deterministic fallback "
+                "features + hash text encoder.")
+            self._fallback = RandomFeatureExtractor(self.out_dim, stride=2,
+                                                    seed=1512)
+            self._hash_text = HashTextEncoder(self.out_dim)
+
+    def shape(self, input_shape):
+        return (input_shape[0] // 2, input_shape[1] // 2)
+
+    def encode_text(self, prompts):
+        """list of N strings -> unit-norm (N, 512) embeddings."""
+        if self._text_encoder is None:
+            return self._hash_text.encode_text(prompts)
+        torch = self._torch
+        with torch.inference_mode():
+            tokens = self._clip.tokenize(list(prompts))
+            features = torch.cat([
+                self._text_encoder.encode_text(t[None]) for t in tokens
+            ])
+            features = features / features.norm(dim=-1, keepdim=True)
+            return features.cpu().numpy()
+
+    def __call__(self, x):
+        """x: (B, 3, H, W) float in [0, 1] -> (B, H/2, W/2, 512)."""
+        if self._evaluator is None:
+            return self._fallback(x)
+        torch = self._torch
+        import torch.nn.functional as F
+        with torch.inference_mode():
+            t = torch.as_tensor(x)
+            _, _, H, W = t.shape
+            out = [
+                self._evaluator.compute_features(
+                    F.interpolate(img[None], [H // 2, W // 2]))
+                for img in t
+            ]
+            return torch.cat(out).permute(0, 2, 3, 1).cpu().numpy()

@@ -111,55 +111,51 @@ def hashgrid_init(key, config, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -1e-4, 1e-4)
 
 
-def _corner_indices(x, config):
-    """Table indices and interpolation weights for every level at once.
-
-    x: (N, 3) in [0, 1].
-    Returns idx (N, L, 8) int32 into the per-level table and
-    weights (N, L, 8) float32.
-    """
-    res = jnp.asarray(config.resolutions, dtype=jnp.float32)  # (L,)
-    pos = x[:, None, :] * res[None, :, None]  # (N, L, 3)
-    cell = jnp.floor(pos)
-    frac = pos - cell
-    cell = cell.astype(jnp.int32)
-
-    corners = cell[:, :, None, :] + jnp.asarray(_CORNERS)[None, None]  # (N,L,8,3)
-
-    # Hashed index (uint32 wrap-around is the hash).
-    c = corners.astype(jnp.uint32)
-    hashed = (c[..., 0] * jnp.uint32(_PRIMES[0])
-              ^ c[..., 1] * jnp.uint32(_PRIMES[1])
-              ^ c[..., 2] * jnp.uint32(_PRIMES[2]))
-    hashed = (hashed % jnp.uint32(config.table_size)).astype(jnp.int32)
-
-    # Dense index for levels whose full grid fits in the table.
-    strides = np.asarray(
-        [r + 1 for r in config.resolutions], dtype=np.int64)
-    dense_ok = (strides.astype(np.int64) ** 3) <= config.table_size
-    stride = jnp.asarray(strides, dtype=jnp.int32)[None, :, None]
-    dense = (corners[..., 0]
-             + stride * (corners[..., 1] + stride * corners[..., 2]))
-    use_dense = jnp.asarray(dense_ok)[None, :, None]
-    idx = jnp.where(use_dense, dense, hashed)
-
-    # Trilinear weights: product over dims of frac or (1 - frac).
-    corner_sel = jnp.asarray(_CORNERS, dtype=jnp.float32)  # (8, 3)
-    f = frac[:, :, None, :]  # (N, L, 1, 3)
-    w = corner_sel[None, None] * f + (1.0 - corner_sel[None, None]) * (1.0 - f)
-    weights = w.prod(axis=-1)  # (N, L, 8)
-    return idx, weights
-
-
 @functools.partial(jax.jit, static_argnames='config')
 def hashgrid_encode(table, x, config):
     """Encode (N, 3) points in [0, 1] -> (N, n_levels * n_features).
 
-    One vectorized gather across all levels; grad w.r.t. table is a
-    scatter-add (XLA) — swap in the Pallas path on TPU for the hot loop.
+    TPU layout note: all large intermediates keep N in the LAST (lane)
+    dimension — a (N, L, 8, 3) corner tensor would be tile-padded 42x by
+    the TPU's (8, 128) layout (the trailing 3 pads to 128). The 8 cell
+    corners are a static unrolled loop of (L, N) gathers instead; grad
+    w.r.t. the table lowers to scatter-adds (XLA). The Pallas kernel in
+    ops/hashgrid_pallas.py replaces this on the TPU hot path.
     """
-    idx, weights = _corner_indices(x, config)
-    level = jnp.arange(config.n_levels, dtype=jnp.int32)[None, :, None]
-    feats = table[level, idx]  # (N, L, 8, F)
-    out = (feats * weights[..., None].astype(table.dtype)).sum(axis=2)
-    return out.reshape(x.shape[0], config.out_dim)
+    n = x.shape[0]
+    res = jnp.asarray(config.resolutions, dtype=jnp.float32)  # (L,)
+    # (3, L, N): per-dimension positions, N in lanes.
+    pos = res[None, :, None] * x.T[:, None, :]
+    cell = jnp.floor(pos)
+    frac = pos - cell
+    cell = cell.astype(jnp.int32)
+
+    strides = np.asarray([r + 1 for r in config.resolutions], dtype=np.int64)
+    dense_ok = (strides ** 3) <= config.table_size
+    use_dense = jnp.asarray(dense_ok)[:, None]  # (L, 1)
+    stride = jnp.asarray(strides, dtype=jnp.int32)[:, None]  # (L, 1)
+    level = jnp.arange(config.n_levels, dtype=jnp.int32)[:, None]  # (L, 1)
+
+    out = jnp.zeros((config.n_levels, n, config.n_features),
+                    dtype=table.dtype)
+    for ox, oy, oz in _CORNERS:
+        cx = cell[0] + ox
+        cy = cell[1] + oy
+        cz = cell[2] + oz
+        hashed = (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+                  ^ cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+                  ^ cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+        hashed = (hashed % jnp.uint32(config.table_size)).astype(jnp.int32)
+        dense = cx + stride * (cy + stride * cz)
+        idx = jnp.where(use_dense, dense, hashed)  # (L, N)
+
+        wx = frac[0] if ox else 1.0 - frac[0]
+        wy = frac[1] if oy else 1.0 - frac[1]
+        wz = frac[2] if oz else 1.0 - frac[2]
+        weight = (wx * wy * wz).astype(table.dtype)  # (L, N)
+
+        feats = table[level, idx]  # (L, N, F)
+        out = out + feats * weight[..., None]
+
+    # (L, N, F) -> (N, L*F)
+    return out.transpose(1, 0, 2).reshape(n, config.out_dim)

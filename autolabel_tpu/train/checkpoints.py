@@ -18,15 +18,21 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path, state, extra=None):
-    """state: dict with params/ema/opt_state/step pytrees."""
+def save_checkpoint(path, state, extra=None, include_optimizer=True):
+    """state: dict with params/ema/opt_state/step pytrees.
+
+    include_optimizer=False skips the Adam moments — used for periodic
+    epoch snapshots where device->host bandwidth is precious (the axon
+    TPU tunnel moves ~0.6 MB/s); resume then restarts the moments.
+    """
     os.makedirs(os.path.dirname(path), exist_ok=True)
     payload = {
         'model': _to_numpy(state['params']),
         'ema': _to_numpy(state['ema']),
-        'optimizer': _to_numpy(state['opt_state']),
         'global_step': int(state['step']),
     }
+    if include_optimizer:
+        payload['optimizer'] = _to_numpy(state['opt_state'])
     if extra:
         payload.update(extra)
     tmp = path + '.tmp'

@@ -136,27 +136,34 @@ class SimpleTrainer:
         payload = checkpoints.load_checkpoint(self.checkpoint_dir)
         if payload is None:
             return
+        opt_state = payload.get('optimizer')
+        if opt_state is None:
+            # Lightweight epoch snapshot: restart the Adam moments.
+            opt_state = self.tx.init(payload['model'])
         self.state = {
             'params': payload['model'],
             'ema': payload['ema'],
-            'opt_state': payload['optimizer'],
+            'opt_state': opt_state,
             'step': jnp.asarray(payload['global_step'], jnp.int32),
         }
         self.global_step = payload['global_step']
         self.epoch = payload.get('epoch', self.global_step // 1000)
 
-    def save_checkpoint(self, name=None):
+    def save_checkpoint(self, name=None, include_optimizer=True):
         if self.workspace is None:
             return
         if name is None:
             name = f'{self.name}_ep{self.epoch:04d}'
         path = os.path.join(self.checkpoint_dir, f'{name}.pth')
         state = dict(self.state, step=self.global_step)
-        checkpoints.save_checkpoint(path, state, extra={'epoch': self.epoch})
+        checkpoints.save_checkpoint(path, state, extra={'epoch': self.epoch},
+                                    include_optimizer=include_optimizer)
 
     # -- training ----------------------------------------------------------
 
     def _device_batch(self, data):
+        if isinstance(data.get('rays_o'), jax.Array):
+            return data  # already transformed (PrefetchIterator path)
         batch = {k: data[k] for k in _BATCH_KEYS}
         if self.loss_options.feature_loss:
             batch['features'] = data['features']
@@ -166,24 +173,47 @@ class SimpleTrainer:
             batch = jax.device_put(batch, self._batch_sharding)
         return batch
 
-    def train(self, dataloader, epochs):
-        for _ in range(epochs):
-            self.train_iterations(dataloader, 1000)
+    def train(self, dataloader, epochs, iters_per_epoch=1000,
+              checkpoint_interval=None):
+        """checkpoint_interval: save a params+ema snapshot every N epochs.
+        Default None = final save only — any mid-training device->host
+        transfer permanently degrades tunneled-TPU execution to ~600 ms
+        per step (see SYNC_EVERY note), so periodic snapshots are opt-in.
+        """
+        for epoch in range(epochs):
+            self.train_iterations(dataloader, iters_per_epoch)
             self.epoch += 1
-            self.save_checkpoint()
+            if (checkpoint_interval is not None
+                    and (epoch + 1) % checkpoint_interval == 0
+                    and epoch + 1 < epochs):
+                self.save_checkpoint(include_optimizer=False)
+
+    # How often to force completion of in-flight steps: bounds the async
+    # dispatch queue without a device->host transfer. NOTE: the training
+    # loop deliberately performs NO device_get anywhere — on tunneled TPU
+    # runtimes (axon relay) the first d2h transfer costs minutes and
+    # permanently degrades every subsequent execute to ~600 ms; keeping
+    # the loop fetch-free preserves ~1 ms/step. The reference synced every
+    # step for its tqdm loss bar; we return device arrays instead.
+    SYNC_EVERY = 10
 
     def train_iterations(self, dataloader, iterations, progress=True):
+        """Run `iterations` optimization steps + one EMA/schedule tick.
+
+        Returns the last step's loss dict as DEVICE arrays (convert with
+        float() only when a host value is truly needed — see note above).
+        """
         iterator = iter(dataloader)
         losses = None
-        for _ in range(iterations):
+        for i in range(iterations):
             data = next(iterator)
             self.state, losses = self._train_step(
                 self.state, self._device_batch(data), self._base_key)
             self.global_step += 1
+            if (i + 1) % self.SYNC_EVERY == 0:
+                losses['total'].block_until_ready()
         self.state = self._ema_step(self.state, self.ema_decay)
-        if losses is not None:
-            return float(jax.device_get(losses['total']))
-        return None
+        return losses
 
     # -- inference ---------------------------------------------------------
 

@@ -88,6 +88,10 @@ def main():
     for i in range(iters):
         key = jax.random.fold_in(key, i)
         params, opt_state, loss = step(params, opt_state, batch, key)
+        if (i + 1) % 10 == 0:
+            # Periodic syncs: unbounded async dispatch congests tunneled
+            # TPU runtimes (see trainer.SYNC_EVERY).
+            loss.block_until_ready()
     jax.block_until_ready(loss)
     elapsed = time.perf_counter() - start
 

@@ -1,0 +1,158 @@
+"""Render a trained scene to a 2x2-tiled video (rgb | depth / semantic |
+feature-PCA).
+
+CLI parity: reference scripts/render.py (whose missing SceneDataset/pandas
+imports are fixed here — SURVEY.md "quirks"). Video writing uses cv2
+(ffmpeg/skvideo not available in this environment).
+"""
+import os
+import pickle
+import sys
+
+import cv2
+import h5py
+import numpy as np
+from tqdm import tqdm
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from autolabel_tpu import model_utils, visualization
+from autolabel_tpu.constants import COLORS
+from autolabel_tpu.core.dataset import SceneDataset
+from autolabel_tpu.features.feature_utils import get_feature_extractor
+from autolabel_tpu.inference import InferenceModel
+
+
+def read_args():
+    parser = model_utils.model_flag_parser()
+    parser.add_argument('scene')
+    parser.add_argument('--fps', type=int, default=5)
+    parser.add_argument('--stride', type=int, default=1)
+    parser.add_argument('--model-dir', type=str, required=True)
+    parser.add_argument(
+        '--max-depth',
+        type=float,
+        default=7.5,
+        help="The maximum depth used in colormapping the depth frames.")
+    parser.add_argument('--checkpoint', type=str)
+    parser.add_argument('--out',
+                        type=str,
+                        required=True,
+                        help="Where to save the video.")
+    parser.add_argument('--classes',
+                        default=None,
+                        type=str,
+                        nargs='+',
+                        help="Which classes to segment the scene into.")
+    parser.add_argument('--label-map',
+                        default=None,
+                        type=str,
+                        help="Path to list of labels.")
+    parser.add_argument('--num-steps', type=int, default=512)
+    parser.add_argument('--size', type=int, nargs=2, default=(480, 360),
+                        help="Render resolution (width height).")
+    return parser.parse_args()
+
+
+class FeatureTransformer:
+    """PCA visualization + text features from the features.hdf attrs
+    contract (reference render.py:44-66)."""
+
+    def __init__(self, scene_path, feature_name, classes, checkpoint=None):
+        with h5py.File(os.path.join(scene_path, 'features.hdf'), 'r') as f:
+            features = f[f'features/{feature_name}']
+            self.pca = pickle.loads(features.attrs['pca'].tobytes())
+            self.feature_min = features.attrs['min']
+            self.feature_range = features.attrs['range']
+        self.text_features = None
+        if classes is not None:
+            extractor = get_feature_extractor(feature_name, checkpoint)
+            self.text_features = extractor.encode_text(classes)
+
+    def __call__(self, p_features):
+        H, W, C = p_features.shape
+        features = self.pca.transform(p_features.reshape(H * W, C))
+        features = np.clip(
+            (features - self.feature_min) / self.feature_range, 0.0, 1.0)
+        return (features.reshape(H, W, 3) * 255.0).astype(np.uint8)
+
+
+def compute_semantics(outputs, classes, feature_transform):
+    if classes is not None:
+        features = outputs['semantic_features']
+        features = features / np.maximum(
+            np.linalg.norm(features, axis=-1, keepdims=True), 1e-9)
+        text = feature_transform.text_features[:, :features.shape[-1]]
+        H, W, D = features.shape
+        similarities = features.reshape(H * W, D) @ text.T
+        return similarities.argmax(-1).reshape(H, W)
+    return outputs['semantic'].argmax(axis=-1)
+
+
+def render(model, batch, feature_transform, size=(960, 720), maxdepth=10.0,
+           classes=None):
+    outputs = model.render(batch)
+    p_semantic = compute_semantics(outputs, classes, feature_transform)
+    frame = np.zeros((size[1], size[0], 3), dtype=np.uint8)
+    sw, sh = size[0] // 2, size[1] // 2
+
+    def fit(image):
+        return cv2.resize(image, (sw, sh), interpolation=cv2.INTER_NEAREST)
+
+    frame[:sh, :sw] = fit(
+        (np.clip(outputs['image'], 0, 1) * 255.0).astype(np.uint8))
+    frame[:sh, sw:] = fit(
+        visualization.visualize_depth(outputs['depth'], maxdepth=maxdepth))
+    frame[sh:, :sw] = fit(
+        (COLORS[p_semantic % COLORS.shape[0]] * 255).astype(np.uint8))
+    if feature_transform is not None:
+        frame[sh:, sw:] = fit(feature_transform(outputs['semantic_features']))
+    return frame
+
+
+def main():
+    flags = read_args()
+    model_params = model_utils.read_params(flags.model_dir)
+
+    dataset = SceneDataset('test',
+                           flags.scene,
+                           size=tuple(flags.size),
+                           batch_size=16384,
+                           features=model_params.features,
+                           load_semantic=False,
+                           lazy=True)
+
+    classes = flags.classes
+    if flags.label_map is not None:
+        import pandas
+        label_map = pandas.read_csv(flags.label_map)
+        classes_in_scene = dataset.scene.metadata.get('classes', None)
+        if classes_in_scene is not None:
+            label_map = label_map[label_map['id'].isin(classes_in_scene)]
+        classes = label_map['prompt'].values
+
+    feature_transform = None
+    if model_params.features is not None:
+        feature_transform = FeatureTransformer(flags.scene,
+                                               model_params.features, classes,
+                                               flags.checkpoint)
+
+    n_classes = dataset.n_classes if dataset.n_classes is not None else 2
+    field = model_utils.create_model(dataset.min_bounds, dataset.max_bounds,
+                                     n_classes, model_params)
+    model = InferenceModel.from_checkpoint(field, flags.model_dir,
+                                           num_steps=flags.num_steps,
+                                           max_ray_batch=16384)
+
+    writer = cv2.VideoWriter(flags.out, cv2.VideoWriter_fourcc(*'mp4v'),
+                             flags.fps, (960, 720))
+    for frame_index in tqdm(dataset.indices[::flags.stride]):
+        batch = dataset._get_test(frame_index)
+        frame = render(model, batch, feature_transform,
+                       maxdepth=flags.max_depth, classes=classes)
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+if __name__ == "__main__":
+    main()

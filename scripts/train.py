@@ -1,0 +1,111 @@
+"""Offline (pre)training entry point.
+
+CLI parity: reference scripts/train.py (same flags, same workspace
+layout). The torch DataLoader + AMP + GradScaler machinery is replaced by
+a single jitted train step with a prefetching host loader; bf16 on TPU
+needs no loss scaling.
+"""
+import argparse  # noqa: F401  (flag surface defined in model_utils)
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from autolabel_tpu import model_utils
+from autolabel_tpu.core.dataset import LenDataset, SceneDataset
+from autolabel_tpu.render.renderer import RenderOptions
+from autolabel_tpu.train.loader import PrefetchIterator
+from autolabel_tpu.train.losses import LossOptions
+from autolabel_tpu.train.trainer import SimpleTrainer
+
+
+def read_args():
+    parser = model_utils.model_flag_parser()
+    parser.add_argument('scene')
+    parser.add_argument('--factor-train', type=float, default=2.0)
+    parser.add_argument('--factor-test', type=float, default=2.0)
+    parser.add_argument('--batch-size', '-b', type=int, default=4096)
+    parser.add_argument('--iters', type=int, default=10000)
+    parser.add_argument('--workers', '-w', type=int, default=1)
+    parser.add_argument('--eval', action='store_true')
+    parser.add_argument(
+        '--workspace',
+        type=str,
+        default=None,
+        help="Save results in this directory instead of the scene directory.")
+    parser.add_argument('--num-steps', type=int, default=128,
+                        help="Volume-rendering samples per ray in training.")
+    parser.add_argument('--upsample-steps', type=int, default=0,
+                        help="Extra importance-sampled points per ray.")
+    parser.add_argument('--mesh-devices', type=int, default=None,
+                        help="Data-parallel over this many devices.")
+    parser.add_argument('--save-optimizer', action='store_true',
+                        help="Persist Adam moments in the final checkpoint "
+                        "(doubles checkpoint transfer size).")
+    return parser.parse_args()
+
+
+def main():
+    flags = read_args()
+
+    dataset = SceneDataset('train',
+                           flags.scene,
+                           factor=flags.factor_train,
+                           batch_size=flags.batch_size,
+                           features=flags.features)
+
+    n_classes = dataset.n_classes if dataset.n_classes is not None else 2
+    field = model_utils.create_model(dataset.min_bounds, dataset.max_bounds,
+                                     n_classes, flags)
+
+    loss_options = LossOptions(rgb_weight=flags.rgb_weight,
+                               depth_weight=flags.depth_weight,
+                               semantic_weight=flags.semantic_weight,
+                               feature_weight=flags.feature_weight,
+                               feature_loss=flags.features is not None)
+    render_options = RenderOptions(num_steps=flags.num_steps,
+                                   upsample_steps=flags.upsample_steps,
+                                   perturb=True)
+
+    mesh = None
+    if flags.mesh_devices:
+        from autolabel_tpu.parallel import make_mesh
+        mesh = make_mesh(flags.mesh_devices)
+
+    model_dir = model_utils.model_dir(flags.scene, flags)
+    model_utils.write_params(model_dir, flags)
+    trainer = SimpleTrainer('ngp',
+                            field,
+                            lr=flags.lr,
+                            iters=flags.iters,
+                            loss_options=loss_options,
+                            render_options=render_options,
+                            workspace=model_dir,
+                            ema_decay=0.95,
+                            use_checkpoint='latest',
+                            mesh=mesh)
+
+    iters_per_epoch = min(1000, flags.iters)
+    epochs = int(np.ceil(flags.iters / iters_per_epoch))
+    loader = PrefetchIterator(LenDataset(dataset, iters_per_epoch),
+                              transform=trainer._device_batch)
+    trainer.train(loader, epochs, iters_per_epoch)
+    trainer.save_checkpoint(include_optimizer=flags.save_optimizer)
+
+    if flags.eval:
+        testset = SceneDataset('test',
+                               flags.scene,
+                               factor=flags.factor_test,
+                               batch_size=flags.batch_size * 2)
+        losses = []
+        for i in range(len(testset.poses)):
+            _, loss = trainer.eval_step(testset._get_test(i))
+            losses.append(loss)
+        mse = float(np.mean(losses))
+        print(f"eval: mse={mse:.5f} psnr={-10 * np.log10(mse):.2f}dB")
+
+
+if __name__ == "__main__":
+    main()

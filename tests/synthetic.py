@@ -82,7 +82,7 @@ def make_synthetic_scene(scene_dir,
                          camera_distance=1.6,
                          label_every=3):
     os.makedirs(scene_dir, exist_ok=True)
-    for sub in ('rgb', 'depth', 'pose', 'semantic'):
+    for sub in ('rgb', 'depth', 'pose', 'semantic', 'gt_masks'):
         os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
 
     focal = 0.8 * width
@@ -115,4 +115,23 @@ def make_synthetic_scene(scene_dir,
         if i % label_every == 0:
             cv2.imwrite(os.path.join(scene_dir, 'semantic', f'{i}.png'),
                         semantic)
+            _write_gt_mask(scene_dir, i, semantic, width, height)
     return scene_dir
+
+
+def _write_gt_mask(scene_dir, index, semantic, width, height):
+    """Labelme-style polygon annotation of the sphere silhouette."""
+    contours, _ = cv2.findContours((semantic == 2).astype(np.uint8),
+                                   cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    shapes = [{
+        'label': 'sphere',
+        'points': contour.reshape(-1, 2).astype(float).tolist(),
+    } for contour in contours if len(contour) >= 3]
+    with open(os.path.join(scene_dir, 'gt_masks', f'{index}.json'),
+              'w') as f:
+        json.dump({
+            'imageWidth': width,
+            'imageHeight': height,
+            'shapes': shapes,
+        }, f)

@@ -1,0 +1,96 @@
+"""Interactive backend: the paint -> train -> propagate loop, driven
+headless over a real multiprocessing Pipe (in-process, no Qt)."""
+import multiprocessing
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from autolabel_tpu.backend import TrainingLoop
+from autolabel_tpu.utils.ros_utils import MessageBuffer
+
+
+class _Flags:
+    lr = 1e-4
+    geometric_features = 15
+    encoding = 'hg+freq'
+    features = None
+    rgb_weight = 1.0
+    semantic_weight = 1.0
+    feature_weight = 0.5
+    depth_weight = 0.1
+    feature_dim = 16
+    batch_size = 512
+
+
+def test_backend_message_protocol(sphere_scene):
+    parent, child = multiprocessing.Pipe()
+    loop = TrainingLoop(sphere_scene, _Flags(), child, dataset_factor=1.0)
+    loop.trainer.init(loop.train_dataset)
+
+    # A few train steps.
+    for _ in range(3):
+        loop.trainer.take_step()
+
+    # get_image: the GUI requests a preview render.
+    parent.send(('get_image', 0))
+    loop._check_messages()
+    assert parent.poll(5)
+    message_type, payload = parent.recv()
+    assert message_type == 'image'
+    assert payload['image_index'] == 0
+    assert payload['rgb'].shape == (36, 48, 3)
+    assert payload['depth'].shape == (36, 48)
+    assert payload['semantic'].shape == (36, 48)
+    assert payload['features'] is None  # no feature field configured
+
+    # update_image: repaint a label PNG on disk, notify, check the sampler
+    # picks it up (the disk is the protocol).
+    name = loop.train_dataset.image_names[1]
+    semantic_path = os.path.join(sphere_scene, 'semantic', f'{name}.png')
+    new_labels = np.full((36, 48), 2, dtype=np.uint8)
+    cv2.imwrite(semantic_path, new_labels)
+    parent.send(('update_image', 1))
+    loop._check_messages()
+    assert (loop.train_dataset.semantics[1] == 2).all()
+
+    # checkpoint: writes best.pth under the model-hash workspace.
+    parent.send(('checkpoint', None))
+    loop._check_messages()
+    best = os.path.join(sphere_scene, 'nerf',
+                        'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5',
+                        'checkpoints', 'best.pth')
+    assert os.path.exists(best)
+
+    # Coalescing: only the latest get_image request is answered.
+    parent.send(('get_image', 2))
+    parent.send(('get_image', 3))
+    loop._check_messages()
+    _, payload = parent.recv()
+    assert payload['image_index'] == 3
+    assert not parent.poll(0.1)
+
+    loop.shutdown()
+
+
+def test_message_buffer_matching():
+    class Stamp:
+        def __init__(self, t):
+            self.t = t
+
+        def to_sec(self):
+            return self.t
+
+    class Msg:
+        def __init__(self, t):
+            self.header = type('H', (), {'stamp': Stamp(t)})()
+
+    buf = MessageBuffer(sync_threshold=1 / 60.0, max_size=3)
+    for t in (0.0, 0.1, 0.2, 0.3):
+        buf.add_message(Msg(t))
+    assert len(buf) == 3  # bounded
+    match = buf.closest(Stamp(0.21))
+    assert match is not None
+    assert abs(match.header.stamp.to_sec() - 0.2) < 1e-9
+    assert buf.closest(Stamp(5.0)) is None

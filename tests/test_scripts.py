@@ -1,0 +1,83 @@
+"""CLI parity smoke tests: train -> evaluate -> export -> render on the
+synthetic scene, driving the scripts' main() in-process (CPU backend)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'scripts')
+sys.path.insert(0, SCRIPTS)
+
+
+def _run_script(monkeypatch, name, argv):
+    import importlib
+    import inspect
+    module = importlib.import_module(name)
+    monkeypatch.setattr(sys, 'argv', [f'{name}.py'] + argv)
+    if inspect.signature(module.main).parameters:
+        module.main(module.read_args())
+    else:
+        module.main()
+    return module
+
+
+@pytest.fixture(scope='module')
+def trained_scene(sphere_scene):
+    """Train the scene once via the real CLI (tiny schedule)."""
+    import importlib
+    module = importlib.import_module('train')
+    old_argv = sys.argv
+    sys.argv = ['train.py', sphere_scene, '--iters', '120',
+                '--batch-size', '512', '--factor-train', '1',
+                '--num-steps', '32']
+    try:
+        module.main()
+    finally:
+        sys.argv = old_argv
+    return sphere_scene
+
+
+def test_train_cli_creates_workspace(trained_scene):
+    nerf = os.path.join(trained_scene, 'nerf')
+    assert os.path.isdir(nerf)
+    hashes = os.listdir(nerf)
+    assert hashes == ['g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5']
+    model_dir = os.path.join(nerf, hashes[0])
+    assert os.path.exists(os.path.join(model_dir, 'params.pkl'))
+    checkpoints = os.listdir(os.path.join(model_dir, 'checkpoints'))
+    assert any(c.endswith('.pth') for c in checkpoints)
+
+
+def test_evaluate_cli(trained_scene, monkeypatch, tmp_path):
+    out = str(tmp_path / 'results.json')
+    _run_script(monkeypatch, 'evaluate', [trained_scene, '--out', out])
+    import json
+    with open(out) as f:
+        results = json.load(f)
+    assert len(results) == 1
+    assert 0.0 <= results[0]['iou'] <= 1.0
+    assert results[0]['scene'] == os.path.basename(trained_scene)
+
+
+def test_export_cli(trained_scene, monkeypatch):
+    _run_script(monkeypatch, 'export',
+                [trained_scene, '--num-steps', '16', '--objects', '1'])
+    out_dir = os.path.join(trained_scene, 'output', 'semantic')
+    frames = os.listdir(out_dir)
+    assert len(frames) == 12
+    import cv2
+    frame = cv2.imread(os.path.join(out_dir, '0.png'), -1)
+    assert frame.shape == (36, 48)
+    assert set(np.unique(frame)).issubset({0, 1})
+
+
+def test_render_cli(trained_scene, monkeypatch, tmp_path):
+    out = str(tmp_path / 'video.mp4')
+    model_dir = os.path.join(trained_scene, 'nerf',
+                             'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5')
+    _run_script(monkeypatch, 'render',
+                [trained_scene, '--model-dir', model_dir, '--out', out,
+                 '--num-steps', '16', '--size', '48', '36', '--stride', '4'])
+    assert os.path.getsize(out) > 1000

@@ -86,11 +86,15 @@ def test_training_improves_all_losses(sphere_dataset, tmp_path):
     first = run(10)
     last = run(250)
 
-    assert last['rgb'] < first['rgb'] * 0.6, (first, last)
-    assert last['depth'] < first['depth'] * 0.6, (first, last)
-    assert last['semantic'] < first['semantic'], (first, last)
+    # Absolute targets (single-batch losses fluctuate too much for
+    # relative checks): the sphere scene fits fast, so after ~250 steps
+    # rgb MSE, depth L1 (meters) and semantic CE are all far below their
+    # untrained values (~0.1 / ~0.5 m / ln 2).
+    assert last['rgb'] < 0.03, (first, last)
+    assert last['depth'] < 0.12, (first, last)
+    assert last['semantic'] < 0.2, (first, last)
     psnr = -10.0 * np.log10(last['rgb'])
-    assert psnr > 13.0, psnr
+    assert psnr > 15.0, psnr
 
     # Checkpoint roundtrip under the workspace contract.
     trainer.state = trainer._ema_step(trainer.state, trainer.ema_decay)
