@@ -1,0 +1,152 @@
+"""Converters and SfM helpers: pure-function and file-format coverage."""
+import json
+import os
+import struct
+import sys
+import zlib
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'scripts')
+sys.path.insert(0, SCRIPTS)
+
+from autolabel_tpu.utils.ply import read_ply_vertices, write_ply_pointcloud
+
+
+def test_ply_roundtrip(tmp_path):
+    points = np.random.default_rng(0).normal(size=(100, 3)).astype(
+        np.float32)
+    colors = np.random.default_rng(1).random((100, 3))
+    path = str(tmp_path / 'cloud.ply')
+    write_ply_pointcloud(path, points, colors)
+    vertices = read_ply_vertices(path)
+    np.testing.assert_allclose(vertices, points, atol=1e-6)
+
+
+def test_ply_ascii(tmp_path):
+    path = str(tmp_path / 'ascii.ply')
+    with open(path, 'w') as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 2\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "end_header\n1 2 3\n4 5 6\n")
+    vertices = read_ply_vertices(path)
+    np.testing.assert_allclose(vertices, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_ransac_scale_robust_to_outliers():
+    from mapping import ransac_scale
+    rng = np.random.default_rng(0)
+    inliers = 2.5 + rng.normal(scale=0.005, size=500)
+    outliers = rng.uniform(0.1, 10.0, size=100)
+    scales = np.concatenate([inliers, outliers])
+    rng.shuffle(scales)
+    estimate = ransac_scale(scales, iterations=2000, seed=1)
+    assert abs(estimate - 2.5) < 0.05
+
+
+def test_oriented_bounding_frame_recovers_box():
+    from mapping import oriented_bounding_frame
+    rng = np.random.default_rng(0)
+    # A box of half-extents (2, 1, 0.5), rotated and offset.
+    local = rng.uniform(-1, 1, size=(2000, 3)) * np.array([2.0, 1.0, 0.5])
+    angle = 0.7
+    R = np.array([[np.cos(angle), -np.sin(angle), 0],
+                  [np.sin(angle), np.cos(angle), 0], [0, 0, 1.0]])
+    points = local @ R.T + np.array([5.0, -3.0, 2.0])
+    T, aabb = oriented_bounding_frame(points)
+    # Transformed into the box frame, the AABB is centered and matches the
+    # half-extents (sorted: PCA may permute axes).
+    transformed = points @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(transformed.mean(axis=0), 0.0, atol=0.1)
+    extents = np.sort(aabb[1] - aabb[0])[::-1]
+    np.testing.assert_allclose(extents, [4.0, 2.0, 1.0], atol=0.1)
+
+
+def test_sens_reader(tmp_path):
+    """Parse a synthetic ScanNet .sens v4 stream."""
+    import cv2
+    from convert_scannet import SensReader
+
+    path = str(tmp_path / 'scene.sens')
+    rgb = np.random.default_rng(0).integers(0, 255, (8, 12, 3),
+                                            dtype=np.uint8)
+    ok, jpeg = cv2.imencode('.jpg', rgb)
+    assert ok
+    depth = (np.arange(8 * 12, dtype=np.uint16) * 10).reshape(8, 12)
+    depth_blob = zlib.compress(depth.tobytes())
+    pose = np.eye(4, dtype=np.float32)
+
+    with open(path, 'wb') as f:
+        f.write(struct.pack('I', 4))
+        name = b'sensor'
+        f.write(struct.pack('Q', len(name)))
+        f.write(name)
+        for _ in range(4):  # intrinsics/extrinsics color+depth
+            f.write(np.eye(4, dtype=np.float32).tobytes())
+        f.write(struct.pack('i', 1))  # color compression (jpeg)
+        f.write(struct.pack('i', 0))  # depth compression (zlib)
+        f.write(struct.pack('II', 12, 8))  # color size
+        f.write(struct.pack('II', 12, 8))  # depth size
+        f.write(struct.pack('f', 1000.0))  # depth shift
+        f.write(struct.pack('Q', 2))  # num frames
+        for _ in range(2):
+            f.write(pose.tobytes())
+            f.write(struct.pack('Q', 0))  # ts color
+            f.write(struct.pack('Q', 0))  # ts depth
+            f.write(struct.pack('Q', len(jpeg)))
+            f.write(struct.pack('Q', len(depth_blob)))
+            f.write(jpeg.tobytes())
+            f.write(depth_blob)
+
+    with SensReader(path) as reader:
+        assert reader.num_frames == 2
+        assert reader.rgb_size == (12, 8)
+        frames = list(reader.read())
+    assert len(frames) == 2
+    T_WC, rgb_out, depth_out = frames[0]
+    np.testing.assert_allclose(T_WC, np.eye(4))
+    assert rgb_out.shape == (8, 12, 3)
+    np.testing.assert_array_equal(depth_out, depth)
+
+
+def test_convert_to_instant_ngp(sphere_scene, monkeypatch):
+    import convert_to_instant_ngp
+    out_path = os.path.join(sphere_scene, 'transforms.json')
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    monkeypatch.setattr(sys, 'argv',
+                        ['convert_to_instant_ngp.py', '--dataset_folder',
+                         sphere_scene])
+    convert_to_instant_ngp.main()
+    with open(out_path) as f:
+        transforms = json.load(f)
+    assert len(transforms['frames']) == 12
+    assert transforms['w'] == 48 and transforms['h'] == 36
+    assert transforms['scale'] > 0
+    M = np.asarray(transforms['frames'][0]['transform_matrix'])
+    np.testing.assert_allclose(M[:3, :3] @ M[:3, :3].T, np.eye(3),
+                               atol=1e-5)
+    # Cameras orbit at unit-ish average distance after rescaling... the
+    # scale normalizes mean camera distance to 1.
+    dists = [np.linalg.norm(np.asarray(f['transform_matrix'])[:3, 3]) *
+             transforms['scale'] for f in transforms['frames']]
+    np.testing.assert_allclose(np.mean(dists), 1.0, rtol=1e-5)
+
+
+def test_scene_bounds_cli(sphere_scene, monkeypatch):
+    import compute_scene_bounds
+    bbox_path = os.path.join(sphere_scene, 'bbox.txt')
+    original = open(bbox_path).read()
+    try:
+        monkeypatch.setattr(sys, 'argv',
+                            ['compute_scene_bounds.py', sphere_scene])
+        compute_scene_bounds.main()
+        bounds = np.loadtxt(bbox_path)[:6].reshape(2, 3)
+        # The sphere (radius 0.5) and all cameras (distance ~1.7) fit.
+        assert (bounds[0] < -0.5).all()
+        assert (bounds[1] > 0.5).all()
+    finally:
+        with open(bbox_path, 'w') as f:
+            f.write(original)
