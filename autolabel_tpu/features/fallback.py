@@ -45,13 +45,15 @@ class RandomFeatureExtractor:
             for scale in (1, 2, 4):
                 k = self.stride * scale
                 mean, var = self._pool(image, k)
-                # Upsample coarse scales back to the stride-grid.
-                reps = (h_out // mean.shape[1] + 1, w_out // mean.shape[2] + 1)
-                mean = np.repeat(np.repeat(mean, scale, 1), scale,
-                                 2)[:, :h_out, :w_out]
-                var = np.repeat(np.repeat(var, scale, 1), scale,
-                                2)[:, :h_out, :w_out]
-                feats += [mean, var]
+                # Upsample coarse scales back to the stride-grid
+                # (edge-pad when the image is not a multiple of k).
+                for stat in (mean, var):
+                    up = np.repeat(np.repeat(stat, scale, 1), scale, 2)
+                    pad_h = max(h_out - up.shape[1], 0)
+                    pad_w = max(w_out - up.shape[2], 0)
+                    up = np.pad(up, ((0, 0), (0, pad_h), (0, pad_w)),
+                                mode='edge')
+                    feats.append(up[:, :h_out, :w_out])
             raw = np.concatenate(feats, axis=0)  # (18, h_out, w_out)
             proj = np.tensordot(raw, self._projection,
                                 axes=([0], [0]))  # (h_out, w_out, D)

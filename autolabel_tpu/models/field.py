@@ -41,6 +41,9 @@ class FieldConfig:
     # Optional override of the hash-grid hyperparameters (tests / memory-
     # constrained configs); None = reference-parity defaults per encoding.
     grid: HashGridConfig = None
+    # Hash-grid implementation: 'xla' (gather/scatter, runs everywhere) or
+    # 'pallas' (fused VMEM-resident forward kernel, TPU only).
+    grid_impl: str = 'xla'
 
     @property
     def grid_config(self):
@@ -99,6 +102,14 @@ class Field:
 
     # -- encodings ---------------------------------------------------------
 
+    def _grid_encode(self, table, normalized):
+        c = self.config
+        if c.grid_impl == 'pallas':
+            from autolabel_tpu.ops.hashgrid_pallas import (
+                hashgrid_encode_hybrid)
+            return hashgrid_encode_hybrid(table, normalized, c.grid_config)
+        return hashgrid_encode(table, normalized, c.grid_config)
+
     def encode(self, params: Params, x):
         """Positional encoding of (N, 3) points in [-bound, bound]."""
         c = self.config
@@ -107,14 +118,12 @@ class Field:
         if c.encoding == 'freq':
             return frequency_encode(normalized, 10)
         if c.encoding == 'hg':
-            return hashgrid_encode(params['encoder']['grid'], normalized,
-                                   c.grid_config)
+            return self._grid_encode(params['encoder']['grid'], normalized)
         if c.encoding == 'hg+freq':
             # Frequency part runs on the raw coordinates, grid on the
             # normalized ones (parity: autolabel/models.py:51-59).
             freq = frequency_encode(x, 2)
-            grid = hashgrid_encode(params['encoder']['grid'], normalized,
-                                   c.grid_config)
+            grid = self._grid_encode(params['encoder']['grid'], normalized)
             return jnp.concatenate([freq, grid], axis=-1)
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 

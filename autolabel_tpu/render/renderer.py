@@ -90,11 +90,15 @@ def _composite_weights(sigma, deltas):
 
 
 def render_rays(field, params, rays_o, rays_d, direction_norms,
-                key=None, options=RenderOptions()):
+                key=None, options=RenderOptions(), occupancy=None):
     """Render a flat batch of rays.
 
     rays_o, rays_d: (N, 3); direction_norms: (N, 1) — the z-depth
     conversion factor |(u, v, 1)| from the ray generator.
+    occupancy: optional (density_grid (R,R,R), trained_mask (R,R,R))
+    from OccupancyGrid.state() + its threshold; samples in empty or
+    untrained cells get sigma 0 (the TPU-shaped equivalent of torch-ngp's
+    occupancy skipping — masking instead of compaction).
     """
     c = field.config
     bound = c.bound
@@ -115,7 +119,17 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
     def query_density(z_vals):
         xyz = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
         xyz = jnp.clip(xyz, -bound, bound)
-        sigma, geo = field.density(params, xyz.reshape(-1, 3))
+        flat = xyz.reshape(-1, 3)
+        sigma, geo = field.density(params, flat)
+        if occupancy is not None:
+            density_grid, trained_mask, threshold = occupancy
+            r = density_grid.shape[0]
+            idx = jnp.clip(((flat + bound) / (2 * bound) * r).astype(
+                jnp.int32), 0, r - 1)
+            occupied = density_grid[idx[:, 0], idx[:, 1],
+                                    idx[:, 2]] > threshold
+            trained = trained_mask[idx[:, 0], idx[:, 1], idx[:, 2]]
+            sigma = sigma * (occupied & trained).astype(sigma.dtype)
         s = z_vals.shape[1]
         return (xyz, sigma.reshape(n_rays, s),
                 geo.reshape(n_rays, s, -1))

@@ -25,19 +25,25 @@ _BATCH_KEYS = ('rays_o', 'rays_d', 'direction_norms', 'pixels', 'depth',
                'semantic')
 
 
-def _make_step(field, tx, loss_options, render_options):
-    """Build the jitted train step: (state, batch, key) -> (state, losses)."""
+def _make_step(field, tx, loss_options, render_options,
+               occupancy_threshold=None):
+    """Build the jitted train step: (state, batch, key[, occ]) ->
+    (state, losses)."""
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, occupancy):
         outputs = render_rays(field, params, batch['rays_o'],
                               batch['rays_d'], batch['direction_norms'],
-                              key=key, options=render_options)
+                              key=key, options=render_options,
+                              occupancy=occupancy)
         return compute_losses(outputs, batch, loss_options)
 
-    def step(state, batch, base_key):
+    def step(state, batch, base_key, occ_density=None, occ_trained=None):
+        occupancy = None
+        if occ_density is not None:
+            occupancy = (occ_density, occ_trained, occupancy_threshold)
         key = jax.random.fold_in(base_key, state['step'])
         (loss, parts), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state['params'], batch, key)
+            loss_fn, has_aux=True)(state['params'], batch, key, occupancy)
         updates, opt_state = tx.update(grads, state['opt_state'],
                                        state['params'])
         params = optax.apply_updates(state['params'], updates)
@@ -76,6 +82,8 @@ class SimpleTrainer:
                  use_checkpoint='latest',
                  mesh=None,
                  max_ray_batch=4096,
+                 occupancy=None,
+                 occupancy_update_every=100,
                  seed=0):
         self.name = name
         self.field = field
@@ -84,6 +92,8 @@ class SimpleTrainer:
         self.mesh = mesh
         self.loss_options = loss_options or LossOptions()
         self.render_options = render_options or RenderOptions(perturb=True)
+        self.occupancy = occupancy
+        self.occupancy_update_every = occupancy_update_every
         self.epoch = 0
         self.global_step = 0
 
@@ -100,16 +110,22 @@ class SimpleTrainer:
         self._base_key = jax.random.PRNGKey(seed + 1)
 
         step = _make_step(field, self.tx, self.loss_options,
-                          self.render_options)
+                          self.render_options,
+                          occupancy_threshold=(
+                              occupancy.config.threshold
+                              if occupancy is not None else None))
         self._batch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             replicated = NamedSharding(mesh, P())
             self._batch_sharding = NamedSharding(mesh, P('data'))
+            in_shardings = [replicated, self._batch_sharding, replicated]
+            if occupancy is not None:
+                in_shardings += [replicated, replicated]
             self._train_step = jax.jit(
                 step,
                 donate_argnums=0,
-                in_shardings=(replicated, self._batch_sharding, replicated),
+                in_shardings=tuple(in_shardings),
                 out_shardings=(replicated, replicated))
         else:
             self._train_step = jax.jit(step, donate_argnums=0)
@@ -137,6 +153,14 @@ class SimpleTrainer:
         if payload is None:
             return
         opt_state = payload.get('optimizer')
+        if opt_state is not None:
+            # A checkpoint written under a different optimizer config
+            # (e.g. interactive constant-lr vs offline StepLR) has a
+            # different state pytree; silently feeding it to tx.update
+            # corrupts the schedule. Reinit the moments on mismatch.
+            expected = jax.tree.structure(self.tx.init(payload['model']))
+            if jax.tree.structure(opt_state) != expected:
+                opt_state = None
         if opt_state is None:
             # Lightweight epoch snapshot: restart the Adam moments.
             opt_state = self.tx.init(payload['model'])
@@ -207,8 +231,14 @@ class SimpleTrainer:
         losses = None
         for i in range(iterations):
             data = next(iterator)
+            if (self.occupancy is not None and
+                    self.global_step % self.occupancy_update_every == 0):
+                self.occupancy.update(self.field, self.state['params'])
+            args = ()
+            if self.occupancy is not None:
+                args = self.occupancy.state()
             self.state, losses = self._train_step(
-                self.state, self._device_batch(data), self._base_key)
+                self.state, self._device_batch(data), self._base_key, *args)
             self.global_step += 1
             if (i + 1) % self.SYNC_EVERY == 0:
                 losses['total'].block_until_ready()
@@ -262,8 +292,12 @@ class InteractiveTrainer(SimpleTrainer):
 
     def take_step(self):
         data = next(self.iterator)
+        if (self.occupancy is not None and
+                self.global_step % self.occupancy_update_every == 0):
+            self.occupancy.update(self.field, self.state['params'])
+        args = self.occupancy.state() if self.occupancy is not None else ()
         self.state, losses = self._train_step(
-            self.state, self._device_batch(data), self._base_key)
+            self.state, self._device_batch(data), self._base_key, *args)
         self.global_step += 1
         self.step += 1
         if self.step % self.EMA_EVERY == 0:

@@ -44,11 +44,29 @@ def read_args():
     parser.add_argument('--save-optimizer', action='store_true',
                         help="Persist Adam moments in the final checkpoint "
                         "(doubles checkpoint transfer size).")
+    parser.add_argument('--occupancy-grid', action='store_true',
+                        help="Maintain an occupancy grid masking density "
+                        "in empty/unobserved cells during rendering.")
     return parser.parse_args()
+
+
+def _timing_logger():
+    import time
+    start = [time.time()]
+
+    def mark(label):
+        if os.environ.get('AUTOLABEL_TIMING'):
+            now = time.time()
+            print(f"[timing] {label}: {now - start[0]:.1f}s",
+                  file=sys.stderr, flush=True)
+            start[0] = now
+
+    return mark
 
 
 def main():
     flags = read_args()
+    mark = _timing_logger()
 
     dataset = SceneDataset('train',
                            flags.scene,
@@ -56,6 +74,7 @@ def main():
                            batch_size=flags.batch_size,
                            features=flags.features)
 
+    mark('dataset')
     n_classes = dataset.n_classes if dataset.n_classes is not None else 2
     field = model_utils.create_model(dataset.min_bounds, dataset.max_bounds,
                                      n_classes, flags)
@@ -74,6 +93,15 @@ def main():
         from autolabel_tpu.parallel import make_mesh
         mesh = make_mesh(flags.mesh_devices)
 
+    occupancy = None
+    if flags.occupancy_grid:
+        from autolabel_tpu.render.occupancy import (OccupancyGrid,
+                                                    OccupancyGridConfig)
+        occupancy = OccupancyGrid(OccupancyGridConfig(),
+                                  field.config.bound)
+        occupancy.mark_untrained_grid(dataset.poses, dataset.intrinsics,
+                                      dataset.camera.size)
+
     model_dir = model_utils.model_dir(flags.scene, flags)
     model_utils.write_params(model_dir, flags)
     trainer = SimpleTrainer('ngp',
@@ -85,14 +113,18 @@ def main():
                             workspace=model_dir,
                             ema_decay=0.95,
                             use_checkpoint='latest',
-                            mesh=mesh)
+                            mesh=mesh,
+                            occupancy=occupancy)
+    mark('trainer init')
 
     iters_per_epoch = min(1000, flags.iters)
     epochs = int(np.ceil(flags.iters / iters_per_epoch))
     loader = PrefetchIterator(LenDataset(dataset, iters_per_epoch),
                               transform=trainer._device_batch)
     trainer.train(loader, epochs, iters_per_epoch)
+    mark('train')
     trainer.save_checkpoint(include_optimizer=flags.save_optimizer)
+    mark('save checkpoint')
 
     if flags.eval:
         testset = SceneDataset('test',

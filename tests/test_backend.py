@@ -24,7 +24,14 @@ class _Flags:
     batch_size = 512
 
 
-def test_backend_message_protocol(sphere_scene):
+def test_backend_message_protocol(sphere_scene, tmp_path):
+    # The backend mutates the scene (repainted labels, checkpoints);
+    # run against a private copy so the session fixture stays pristine.
+    import shutil
+    scene = str(tmp_path / 'scene')
+    shutil.copytree(sphere_scene, scene)
+    sphere_scene = scene
+
     parent, child = multiprocessing.Pipe()
     loop = TrainingLoop(sphere_scene, _Flags(), child, dataset_factor=1.0)
     loop.trainer.init(loop.train_dataset)
