@@ -32,6 +32,19 @@ def model_flag_parser():
     parser.add_argument('--feature-weight', default=0.5, type=float)
     parser.add_argument('--depth-weight', default=0.1, type=float)
     parser.add_argument('--feature-dim', default=64, type=int)
+    parser.add_argument('--grid-preset',
+                        default='tpu',
+                        choices=['reference', 'tpu'],
+                        help="Hash-grid shape: 'tpu' = v5e-tuned wide-row "
+                        "layout (default, ~10x faster at equal parameter "
+                        "count), 'reference' = the reference's 16x2x2^19.")
+    parser.add_argument('--proposal',
+                        action='store_true',
+                        help="Proposal-network sampling: a tiny density "
+                        "MLP places the main field's samples, cutting "
+                        "hash-grid queries ~4x (mip-NeRF-360 style).")
+    parser.add_argument('--proposal-steps', type=int, default=64,
+                        help="Uniform proposal samples per ray.")
     return parser
 
 
@@ -41,6 +54,12 @@ def model_hash(flags):
     string += (f"_rgb{flags.rgb_weight}_d{flags.depth_weight}"
                f"_s{flags.semantic_weight}")
     string += f"_f{flags.feature_weight}"
+    # TPU-shaped hash grid changes the parameter shapes, so it gets its
+    # own workspace; the reference preset keeps the reference hash string.
+    if getattr(flags, 'grid_preset', 'reference') == 'tpu':
+        string += "_tpugrid"
+    if getattr(flags, 'proposal', False):
+        string += "_prop"
     return string
 
 
@@ -62,7 +81,17 @@ def compute_bound(min_bounds, max_bounds):
 
 def create_model(min_bounds, max_bounds, n_classes, flags):
     """Build the Field for a scene. Returns the Field (params are created
-    separately via field.init(key) — the functional split torch hides)."""
+    separately via field.init(key) — the functional split torch hides).
+
+    flags.grid_preset selects the hash-grid shape: 'reference' keeps the
+    reference's 16 x 2^19 x 2 layout; 'tpu' (TPU_GRID) uses the v5e-tuned
+    4 x 2^15 x 128 layout at the same parameter count (~10x faster
+    encode; see ops/encoders.py).
+    """
+    grid = None
+    if getattr(flags, 'grid_preset', 'reference') == 'tpu':
+        from autolabel_tpu.ops.encoders import TPU_GRID
+        grid = TPU_GRID
     config = FieldConfig(encoding=flags.encoding,
                          num_layers=2,
                          num_layers_color=2,
@@ -71,7 +100,9 @@ def create_model(min_bounds, max_bounds, n_classes, flags):
                          geo_feat_dim=flags.geometric_features,
                          hidden_dim_semantic=flags.feature_dim,
                          semantic_classes=n_classes,
-                         bound=compute_bound(min_bounds, max_bounds))
+                         bound=compute_bound(min_bounds, max_bounds),
+                         grid=grid,
+                         proposal=getattr(flags, 'proposal', False))
     return Field(config)
 
 

@@ -44,6 +44,11 @@ class FieldConfig:
     # Hash-grid implementation: 'xla' (gather/scatter, runs everywhere) or
     # 'pallas' (fused VMEM-resident forward kernel, TPU only).
     grid_impl: str = 'xla'
+    # Proposal sampler: a tiny frequency-encoded density MLP that places
+    # the main field's samples (mip-NeRF-360 style). Cuts hash-grid
+    # queries ~4x on TPU where the grid gather dominates the step.
+    proposal: bool = False
+    proposal_hidden_dim: int = 64
 
     @property
     def grid_config(self):
@@ -98,6 +103,11 @@ class Field:
             params['encoder'] = {'grid': hashgrid_init(keys[4], grid_config)}
         else:
             params['encoder'] = {}
+        if c.proposal:
+            key_p = jax.random.fold_in(key, 99)
+            # freq(n=6) on normalized coords -> 3*6*2 = 36 input dims.
+            params['proposal'] = mlp_init(key_p, 36, c.proposal_hidden_dim,
+                                          1, 2)
         return params
 
     # -- encodings ---------------------------------------------------------
@@ -140,6 +150,14 @@ class Field:
         h = jnp.concatenate(
             [sh_encode(d), geo_feat.astype(jnp.float32)], axis=-1)
         return jax.nn.sigmoid(mlp_apply(params['color_net'], h))
+
+    def proposal_sigma(self, params: Params, x):
+        """Cheap proposal density: (N, 3) -> (N,). Pure MXU (freq + MLP),
+        no hash-grid gather."""
+        c = self.config
+        normalized = jnp.clip((x + c.bound) / (2.0 * c.bound), 0.0, 1.0)
+        h = mlp_apply(params['proposal'], frequency_encode(normalized, 6))
+        return trunc_exp(h[..., 0])
 
     def semantic(self, params: Params, geo_feat):
         """Geo features -> (class logits (N, C), features (N, S)).

@@ -61,8 +61,10 @@ def _encode_kernel(res_ref, stride_ref, dense_ref, x_ref, table_ref,
         weight = wx * wy * wz  # (TILE_N,)
 
         # Gather the 8 corners from the VMEM-resident level table.
-        # table block: (1, F, T) -> take along the T axis.
-        feats = jnp.take(table_ref[0], idx, axis=1)  # (F, TILE_N)
+        # Mosaic's dynamic gather is take_along_axis-shaped: indices must
+        # match the output shape, gathering along one axis.
+        idx_b = jnp.broadcast_to(idx[None, :], (n_features, idx.shape[0]))
+        feats = jnp.take_along_axis(table_ref[0], idx_b, axis=1)
         acc = acc + feats * weight[None, :]
     out_ref[0] = acc
 
@@ -72,13 +74,15 @@ def hashgrid_encode_pallas(table, x, config, interpret=False):
     """Pallas forward encode: (N, 3) in [0, 1] -> (N, L * F).
 
     table: (L, T, F) fp32 (same param layout as the XLA path).
+    NOTE: compiles only in interpret mode on current Mosaic (the in-VMEM
+    dynamic gather form is not yet supported on v5e); kept as the kernel
+    skeleton for gens with dynamic_gather.
     """
     n = x.shape[0]
     L, T, F = table.shape
     padded_n = ((n + TILE_N - 1) // TILE_N) * TILE_N
     xs = jnp.zeros((3, padded_n), x.dtype).at[:, :n].set(x.T)
-
-    table_fln = table.transpose(0, 2, 1)  # (L, F, T), lanes on T
+    table = table.transpose(0, 2, 1)  # (L, F, T), lanes on T
 
     resolutions = np.asarray(config.resolutions, np.float32)
     strides = np.asarray([r + 1 for r in config.resolutions], np.int64)
@@ -107,7 +111,7 @@ def hashgrid_encode_pallas(table, x, config, interpret=False):
         out_shape=jax.ShapeDtypeStruct((L, F, padded_n), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(resolutions), jnp.asarray(strides, jnp.int32),
-      jnp.asarray(dense_ok), xs, table_fln)
+      jnp.asarray(dense_ok), xs, table)
 
     # (L, F, N) -> (N, L*F)
     return out[:, :, :n].transpose(2, 0, 1).reshape(n, L * F)

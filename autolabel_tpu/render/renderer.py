@@ -27,6 +27,11 @@ class RenderOptions:
     upsample_steps: int = 0
     perturb: bool = False
     bg_color: float = 1.0
+    # Proposal sampling (field.config.proposal must be on): a cheap
+    # density MLP takes `proposal_steps` uniform samples and places the
+    # main field's `num_steps` samples by inverse-CDF — ~4x fewer
+    # hash-grid queries at equal quality (mip-NeRF-360 style). 0 = off.
+    proposal_steps: int = 0
 
 
 def ray_aabb_intersect(rays_o, rays_d, bound, min_near=MIN_NEAR):
@@ -77,6 +82,23 @@ def sample_pdf(z_mid, weights, n_samples, key):
     return z_lo + t * (z_hi - z_lo)
 
 
+def _interlevel_loss(z_main, d_main, w_main, z_prop, d_prop, w_prop):
+    """mip-NeRF-360 proposal supervision: each main interval's weight must
+    be covered by the proposal weights overlapping it. Dense (S_m, S_p)
+    overlap matrix per ray — tiny, VPU-friendly.
+
+    z_*: sample starts (N, S); d_*: interval lengths; w_*: weights.
+    """
+    m0 = z_main[..., :, None]
+    m1 = (z_main + d_main)[..., :, None]
+    p0 = z_prop[..., None, :]
+    p1 = (z_prop + d_prop)[..., None, :]
+    overlap = (jnp.minimum(m1, p1) - jnp.maximum(m0, p0)) > 0
+    bound = (overlap * w_prop[..., None, :]).sum(axis=-1)  # (N, S_m)
+    excess = jnp.maximum(w_main - bound, 0.0)
+    return (excess ** 2 / (bound + 1e-4)).mean()
+
+
 def _composite_weights(sigma, deltas):
     """Transmittance-weighted sample weights, fully vectorized.
 
@@ -112,9 +134,33 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
     near, far = ray_aabb_intersect(rays_o, rays_d, bound)
     sample_dist = (far - near) / num_steps  # (N, 1)
 
-    z = near + (far - near) * jnp.linspace(0.0, 1.0, num_steps)[None, :]
-    if k_coarse is not None:
-        z = z + (jax.random.uniform(k_coarse, z.shape) - 0.5) * sample_dist
+    proposal_info = None
+    if options.proposal_steps > 0:
+        sp = options.proposal_steps
+        dist_p = (far - near) / sp
+        z_p = near + (far - near) * jnp.linspace(0.0, 1.0, sp)[None, :]
+        if k_coarse is not None:
+            z_p = z_p + (jax.random.uniform(k_coarse, z_p.shape) - 0.5) \
+                * dist_p
+        xyz_p = rays_o[:, None, :] + z_p[..., None] * rays_d[:, None, :]
+        sigma_p = field.proposal_sigma(
+            params, jnp.clip(xyz_p, -bound, bound).reshape(-1, 3))
+        sigma_p = sigma_p.reshape(n_rays, sp)
+        deltas_p = jnp.concatenate(
+            [jnp.diff(z_p, axis=-1),
+             jnp.broadcast_to(dist_p, (n_rays, 1))], axis=-1)
+        w_p = _composite_weights(sigma_p, deltas_p)
+        proposal_info = (z_p, deltas_p, w_p)
+
+        z_mid = 0.5 * (z_p[..., 1:] + z_p[..., :-1])
+        z = sample_pdf(z_mid, jax.lax.stop_gradient(w_p[..., :-1]),
+                       num_steps, k_fine)
+        z = jnp.sort(z, axis=-1)
+    else:
+        z = near + (far - near) * jnp.linspace(0.0, 1.0, num_steps)[None, :]
+        if k_coarse is not None:
+            z = z + (jax.random.uniform(k_coarse, z.shape) - 0.5) \
+                * sample_dist
 
     def query_density(z_vals):
         xyz = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
@@ -167,6 +213,16 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
     weights = _composite_weights(sigma, deltas)  # (N, S)
     weights_sum = weights.sum(axis=-1)
 
+    interlevel = None
+    if proposal_info is not None:
+        z_p, deltas_p, w_p = proposal_info
+        # Proposal learns to cover the main field's weights; the main
+        # field is not influenced (stop-grad on the main side).
+        interlevel = _interlevel_loss(jax.lax.stop_gradient(z),
+                                      jax.lax.stop_gradient(deltas),
+                                      jax.lax.stop_gradient(weights),
+                                      z_p, deltas_p, w_p)
+
     # Per-sample head evaluations on the flat (N*S, .) layout.
     geo_flat = geo.reshape(-1, geo.shape[-1])
     dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, total_steps, 3))
@@ -187,7 +243,7 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
     z_depth = z / direction_norms
     depth_variance = (weights * (z_depth - depth[:, None]) ** 2).sum(axis=-1)
 
-    return {
+    out = {
         'image': image,
         'depth': depth,
         'depth_variance': depth_variance,
@@ -196,6 +252,9 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
         'coordinates_map': (w * xyz).sum(axis=1),
         'weights_sum': weights_sum,
     }
+    if interlevel is not None:
+        out['interlevel'] = interlevel
+    return out
 
 
 class StagedRenderer:
@@ -206,8 +265,14 @@ class StagedRenderer:
         self.field = field
         self.options = options or RenderOptions()
         self.max_ray_batch = max_ray_batch
-        self._chunk_fn = jax.jit(
-            functools.partial(render_rays, field, options=self.options))
+
+        def chunk_fn(params, o, d, dn):
+            out = render_rays(field, params, o, d, dn,
+                              options=self.options)
+            out.pop('interlevel', None)  # per-chunk scalar, training-only
+            return out
+
+        self._chunk_fn = jax.jit(chunk_fn)
 
     def render(self, params, rays_o, rays_d, direction_norms):
         """rays_*: (..., 3) arrays of any leading shape; returns dict of

@@ -25,6 +25,9 @@ class LossOptions:
     semantic_weight: float = 1.0
     feature_weight: float = 0.5
     feature_loss: bool = False
+    # Weight of the proposal-sampler interlevel loss (active only when the
+    # renderer returns one, i.e. proposal sampling is on).
+    interlevel_weight: float = 1.0
 
 
 def _masked_mean(values, mask):
@@ -51,6 +54,10 @@ def compute_losses(outputs, batch, options: LossOptions):
         pred = outputs['semantic_features'][:, :gt_features.shape[-1]]
         losses['feature'] = jnp.mean(jnp.abs(pred - gt_features))
         total = total + options.feature_weight * losses['feature']
+
+    if 'interlevel' in outputs:
+        losses['interlevel'] = outputs['interlevel']
+        total = total + options.interlevel_weight * losses['interlevel']
 
     gt_semantic = batch['semantic']
     has_semantic = (gt_semantic >= 0).astype(jnp.float32)

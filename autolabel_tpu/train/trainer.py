@@ -136,6 +136,7 @@ class SimpleTrainer:
             field,
             RenderOptions(num_steps=self.render_options.num_steps,
                           upsample_steps=self.render_options.upsample_steps,
+                          proposal_steps=self.render_options.proposal_steps,
                           perturb=False),
             max_ray_batch=max_ray_batch)
 

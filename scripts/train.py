@@ -84,9 +84,11 @@ def main():
                                semantic_weight=flags.semantic_weight,
                                feature_weight=flags.feature_weight,
                                feature_loss=flags.features is not None)
-    render_options = RenderOptions(num_steps=flags.num_steps,
-                                   upsample_steps=flags.upsample_steps,
-                                   perturb=True)
+    render_options = RenderOptions(
+        num_steps=flags.num_steps,
+        upsample_steps=flags.upsample_steps,
+        perturb=True,
+        proposal_steps=flags.proposal_steps if flags.proposal else 0)
 
     mesh = None
     if flags.mesh_devices:

@@ -84,6 +84,29 @@ def test_hashgrid_corners_exact():
                                atol=1e-6)
 
 
+def test_rows_and_lanes_paths_agree():
+    from autolabel_tpu.ops.encoders import _encode_lanes, _encode_rows
+    cfg = HashGridConfig(n_levels=3,
+                         n_features=8,
+                         log2_hashmap_size=10,
+                         base_resolution=4,
+                         per_level_scale=3.0)
+    table = hashgrid_init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (64, 3))
+    np.testing.assert_allclose(np.asarray(_encode_rows(table, x, cfg)),
+                               np.asarray(_encode_lanes(table, x, cfg)),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_tpu_grid_preset():
+    from autolabel_tpu.ops.encoders import TPU_GRID
+    # Same parameter budget as the reference 16 x 2^19 x 2 table.
+    assert TPU_GRID.n_levels * TPU_GRID.table_size * TPU_GRID.n_features \
+        == 16 * 2 ** 19 * 2
+    assert TPU_GRID.resolutions[0] == 16
+    assert 1500 <= TPU_GRID.resolutions[-1] <= 2600
+
+
 def test_desired_resolution_scale():
     cfg = HashGridConfig.from_desired_resolution(2 ** 18)
     res = cfg.resolutions

@@ -43,7 +43,9 @@ def test_train_cli_creates_workspace(trained_scene):
     nerf = os.path.join(trained_scene, 'nerf')
     assert os.path.isdir(nerf)
     hashes = os.listdir(nerf)
-    assert hashes == ['g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5']
+    # Default grid preset is 'tpu' (suffixed); --grid-preset reference
+    # reproduces the reference's exact hash string.
+    assert hashes == ['g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5_tpugrid']
     model_dir = os.path.join(nerf, hashes[0])
     assert os.path.exists(os.path.join(model_dir, 'params.pkl'))
     checkpoints = os.listdir(os.path.join(model_dir, 'checkpoints'))
@@ -76,7 +78,8 @@ def test_export_cli(trained_scene, monkeypatch):
 def test_render_cli(trained_scene, monkeypatch, tmp_path):
     out = str(tmp_path / 'video.mp4')
     model_dir = os.path.join(trained_scene, 'nerf',
-                             'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5')
+                             'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5'
+                             '_tpugrid')
     _run_script(monkeypatch, 'render',
                 [trained_scene, '--model-dir', model_dir, '--out', out,
                  '--num-steps', '16', '--size', '48', '36', '--stride', '4'])

