@@ -9,6 +9,11 @@ vectorized numpy — the TPU never sees per-pixel Python.
 """
 import numpy as np
 
+try:  # native kernel (native/raybatch.c); numpy fallback below
+    from autolabel_tpu import _raybatch
+except ImportError:
+    _raybatch = None
+
 # OpenCV camera (x right, y down, z forward) -> OpenGL (y up, z backward).
 CV_TO_OPENGL = np.diag([1.0, -1.0, -1.0, 1.0])
 
@@ -62,9 +67,19 @@ def compute_directions(R_WC,
             direction (x, y, 1) — the factor converting ray distance to
             z-depth.
 
-    Parity: autolabel/dataset.py:17-37 (njit _compute_direction).
+    Parity: autolabel/dataset.py:17-37 (njit _compute_direction). Uses
+    the native C kernel when built (setup.py build_ext --inplace).
     """
     ray_indices = np.asarray(ray_indices)
+    if _raybatch is not None:
+        if rng is not None:
+            jx = rng.random(ray_indices.size, dtype=np.float32)
+            jy = rng.random(ray_indices.size, dtype=np.float32)
+        else:
+            jx = jy = None
+        return _raybatch.compute_directions(
+            np.asarray(R_WC, np.float64), ray_indices.astype(np.int64),
+            int(w), float(fx), float(fy), float(cx), float(cy), jx, jy)
     xs = (ray_indices % w).astype(np.float32)
     ys = ((ray_indices - xs) / w).astype(np.float32)
     if rng is not None:
