@@ -42,12 +42,18 @@ class TrainingLoop:
                                    semantic_weight=flags.semantic_weight,
                                    feature_weight=flags.feature_weight,
                                    feature_loss=flags.features is not None)
+        if getattr(flags, 'proposal', False):
+            render_options = RenderOptions(
+                num_steps=32, perturb=True,
+                proposal_steps=getattr(flags, 'proposal_steps', 64))
+        else:
+            render_options = RenderOptions(num_steps=128, perturb=True)
         self.trainer = InteractiveTrainer(
             'ngp',
             self.field,
             lr=flags.lr,
             loss_options=loss_options,
-            render_options=RenderOptions(num_steps=128, perturb=True),
+            render_options=render_options,
             workspace=self.workspace,
             ema_decay=0.95,
             use_checkpoint='latest')
