@@ -112,36 +112,45 @@ class Field:
 
     # -- encodings ---------------------------------------------------------
 
-    def _grid_encode(self, table, normalized):
+    def _grid_encode(self, table, normalized, key=None, n_samples=1):
         c = self.config
-        if c.grid_impl == 'pallas':
+        if c.grid_impl == 'pallas' and key is None:
             from autolabel_tpu.ops.hashgrid_pallas import (
                 hashgrid_encode_hybrid)
             return hashgrid_encode_hybrid(table, normalized, c.grid_config)
-        return hashgrid_encode(table, normalized, c.grid_config)
+        return hashgrid_encode(table, normalized, c.grid_config, key=key,
+                               n_samples=n_samples)
 
-    def encode(self, params: Params, x):
-        """Positional encoding of (N, 3) points in [-bound, bound]."""
+    def encode(self, params: Params, x, key=None, n_samples=1):
+        """Positional encoding of (N, 3) points in [-bound, bound].
+
+        key: optional PRNG key for stochastic-corner hash-grid gathers
+        (training-time; see ops/encoders.hashgrid_encode). key=None gives
+        the exact trilinear interpolation — all eval paths.
+        """
         c = self.config
         bound = c.bound
         normalized = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
         if c.encoding == 'freq':
             return frequency_encode(normalized, 10)
         if c.encoding == 'hg':
-            return self._grid_encode(params['encoder']['grid'], normalized)
+            return self._grid_encode(params['encoder']['grid'], normalized,
+                                     key, n_samples)
         if c.encoding == 'hg+freq':
             # Frequency part runs on the raw coordinates, grid on the
             # normalized ones (parity: autolabel/models.py:51-59).
             freq = frequency_encode(x, 2)
-            grid = self._grid_encode(params['encoder']['grid'], normalized)
+            grid = self._grid_encode(params['encoder']['grid'], normalized,
+                                     key, n_samples)
             return jnp.concatenate([freq, grid], axis=-1)
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
     # -- heads --------------------------------------------------------------
 
-    def density(self, params: Params, x):
+    def density(self, params: Params, x, key=None, n_samples=1):
         """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
-        h = mlp_apply(params['sigma_net'], self.encode(params, x))
+        h = mlp_apply(params['sigma_net'],
+                      self.encode(params, x, key=key, n_samples=n_samples))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
 

@@ -32,6 +32,14 @@ class RenderOptions:
     # main field's `num_steps` samples by inverse-CDF — ~4x fewer
     # hash-grid queries at equal quality (mip-NeRF-360 style). 0 = off.
     proposal_steps: int = 0
+    # Stochastic-corner hash-grid gathers during training (requires a
+    # PRNG key): each (sample, level) gathers `stochastic_corners` cell
+    # corners, each drawn with probability equal to its trilinear weight,
+    # and averages them — an unbiased estimator of the interpolation at
+    # 8/k fewer gather/scatter rows. 0/False disables (exact trilinear);
+    # 2 halves the estimator variance for ~1.5x the encode cost of 1.
+    # Eval paths (key=None) always interpolate exactly.
+    stochastic_corners: int = 2
 
 
 def ray_aabb_intersect(rays_o, rays_d, bound, min_near=MIN_NEAR):
@@ -127,9 +135,11 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
     n_rays = rays_o.shape[0]
     num_steps = options.num_steps
 
-    k_coarse = k_fine = None
+    k_coarse = k_fine = k_enc = None
     if key is not None and options.perturb:
-        key, k_coarse, k_fine = jax.random.split(key, 3)
+        key, k_coarse, k_fine, k_enc = jax.random.split(key, 4)
+    if not options.stochastic_corners:
+        k_enc = None
 
     near, far = ray_aabb_intersect(rays_o, rays_d, bound)
     sample_dist = (far - near) / num_steps  # (N, 1)
@@ -162,11 +172,14 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
             z = z + (jax.random.uniform(k_coarse, z.shape) - 0.5) \
                 * sample_dist
 
-    def query_density(z_vals):
+    n_corner_samples = max(1, int(options.stochastic_corners))
+
+    def query_density(z_vals, enc_key=None):
         xyz = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
         xyz = jnp.clip(xyz, -bound, bound)
         flat = xyz.reshape(-1, 3)
-        sigma, geo = field.density(params, flat)
+        sigma, geo = field.density(params, flat, key=enc_key,
+                                   n_samples=n_corner_samples)
         if occupancy is not None:
             density_grid, trained_mask, threshold = occupancy
             r = density_grid.shape[0]
@@ -180,7 +193,7 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
         return (xyz, sigma.reshape(n_rays, s),
                 geo.reshape(n_rays, s, -1))
 
-    xyz, sigma, geo = query_density(z)
+    xyz, sigma, geo = query_density(z, enc_key=k_enc)
 
     if options.upsample_steps > 0:
         # Importance-sample extra depths from the coarse weights
@@ -194,7 +207,8 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
         z_new = sample_pdf(z_mid, w_coarse[..., :-1],
                            options.upsample_steps, k_fine)
         z_new = jax.lax.stop_gradient(z_new)
-        xyz_new, sigma_new, geo_new = query_density(z_new)
+        k_enc2 = None if k_enc is None else jax.random.fold_in(k_enc, 1)
+        xyz_new, sigma_new, geo_new = query_density(z_new, enc_key=k_enc2)
 
         z_all = jnp.concatenate([z, z_new], axis=-1)
         order = jnp.argsort(z_all, axis=-1)

@@ -47,6 +47,13 @@ def read_args():
     parser.add_argument('--occupancy-grid', action='store_true',
                         help="Maintain an occupancy grid masking density "
                         "in empty/unobserved cells during rendering.")
+    parser.add_argument('--stochastic-corners', type=int, default=2,
+                        help="Hash-grid corners sampled per point in "
+                        "training (unbiased estimate of the trilinear "
+                        "interpolation at 8/k the gather rows); 0 = exact "
+                        "8-corner trilinear.")
+    parser.add_argument('--no-stochastic-corners', action='store_true',
+                        help="Alias for --stochastic-corners 0.")
     return parser.parse_args()
 
 
@@ -88,7 +95,9 @@ def main():
         num_steps=flags.num_steps,
         upsample_steps=flags.upsample_steps,
         perturb=True,
-        proposal_steps=flags.proposal_steps if flags.proposal else 0)
+        proposal_steps=flags.proposal_steps if flags.proposal else 0,
+        stochastic_corners=(0 if flags.no_stochastic_corners else
+                            flags.stochastic_corners))
 
     mesh = None
     if flags.mesh_devices:

@@ -112,3 +112,43 @@ def test_desired_resolution_scale():
     res = cfg.resolutions
     assert res[0] == 16
     assert abs(res[-1] - 2 ** 18) / 2 ** 18 < 0.01
+
+
+def test_stochastic_corners_unbiased():
+    """Mean of stochastic-corner encodes over many keys converges to the
+    exact trilinear interpolation (both wide-row and narrow layouts)."""
+    for n_features in (8, 2):
+        cfg = HashGridConfig(n_levels=2,
+                             n_features=n_features,
+                             log2_hashmap_size=8,
+                             base_resolution=4,
+                             per_level_scale=2.0)
+        table = hashgrid_init(jax.random.PRNGKey(5), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(6), (16, 3))
+        exact = np.asarray(hashgrid_encode(table, x, cfg))
+
+        n_draws = 4000
+        acc = np.zeros_like(exact)
+        for i in range(n_draws):
+            k = jax.random.PRNGKey(1000 + i)
+            acc += np.asarray(hashgrid_encode(table, x, cfg, key=k))
+        mean = acc / n_draws
+        # Table values are U(-1e-4, 1e-4); MC error ~ 1e-4/sqrt(n_draws).
+        np.testing.assert_allclose(mean, exact, atol=6e-6)
+
+
+def test_stochastic_corner_rows_are_table_rows():
+    """Each stochastic encode output is exactly one gathered table row
+    per level (weight 1), i.e. a member of the 8-corner support."""
+    cfg = HashGridConfig(n_levels=1,
+                         n_features=8,
+                         log2_hashmap_size=8,
+                         base_resolution=4,
+                         per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (32, 3))
+    out = np.asarray(hashgrid_encode(table, x, cfg, key=jax.random.PRNGKey(9)))
+    rows = np.asarray(table[0])
+    for row in out:
+        dists = np.abs(rows - row[None]).max(axis=1)
+        assert dists.min() < 1e-7
