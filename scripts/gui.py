@@ -1,33 +1,41 @@
-"""Interactive annotation GUI: paint sparse labels, watch the field fuse
-them into dense multi-view-consistent masks.
+"""Interactive scene labeler.
 
-CLI parity: reference scripts/gui.py (same keys: 0/1 class, C clear,
-ctrl-S save + checkpoint, Esc/Q quit; --dry runs without the NeRF
-backend). The trainer runs in a child process; the GUI and trainer
-exchange only image indices over a Pipe — repainted label PNGs travel via
-the scene directory.
+Paint sparse class strokes over scene frames while a NeRF trains in a
+child process and streams back dense predictions. Behavior contract from
+the reference tool (/root/reference/scripts/gui.py — key bindings per
+README.md:92-102, PNG-on-disk label protocol, 5 s preview cadence, 50 ms
+pipe poll), rebuilt around this repo's TPU backend:
+
+  - label state is numpy (autolabel_tpu/ui/annotations.py), saved as
+    grayscale PNGs the trainer re-reads — the disk IS the IPC payload;
+  - one composited PaintCanvas widget (ui/canvas.py) instead of stacked
+    graphics-scene items;
+  - a BackendClient owns the child process + pipe and drops stale
+    previews, so slow TPU renders never block painting.
+
+Run with --dry to use the UI without a training backend.
 """
-import argparse  # noqa: F401
-import multiprocessing
+import argparse  # noqa: F401  (surface comes from model_flag_parser)
 import os
 import signal
 import sys
 
+import cv2
 import numpy as np
-from PIL import Image
-from PIL.ImageQt import ImageQt, fromqimage
-from PyQt6 import QtCore, QtGui, QtWidgets
-from PyQt6.QtWidgets import QApplication, QWidget
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from PyQt6 import QtCore, QtGui, QtWidgets
+
 from autolabel_tpu import model_utils, visualization
-from autolabel_tpu.backend import TrainingLoop
-from autolabel_tpu.ui.canvas import Canvas, ALPHA  # noqa: F401
+from autolabel_tpu.ui.annotations import AnnotationStore
+from autolabel_tpu.ui.canvas import PaintCanvas
 from autolabel_tpu.utils import Scene
 
-NUM_KEYS = [QtCore.Qt.Key.Key_0, QtCore.Qt.Key.Key_1]
-INFERENCE_UPDATE_INTERVAL = 5000
+PREVIEW_INTERVAL_MS = 5000
+PIPE_POLL_MS = 50
+CANVAS_WIDTH = 720
+CLASS_KEYS = '0123456789'
 
 
 def read_args():
@@ -35,284 +43,254 @@ def read_args():
     parser.set_defaults(lr=1e-4)
     parser.add_argument('scene')
     parser.add_argument('--batch-size', type=int, default=4096)
-    parser.add_argument('--dry',
-                        action='store_true',
-                        help="Runs without the NeRF backend.")
+    parser.add_argument('--dry', action='store_true',
+                        help="Run the UI without the NeRF backend.")
     return parser.parse_args()
 
 
-def training_loop(flags, connection):
+def _run_backend(flags, connection):
+    """Child-process entry: train forever, serving preview requests."""
+    from autolabel_tpu.backend import TrainingLoop
     loop = TrainingLoop(flags.scene, flags, connection)
     signal.signal(signal.SIGTERM, loop.shutdown)
     loop.run()
 
 
-class MessageBus:
+class BackendClient:
+    """Owns the trainer child process and its duplex pipe.
 
-    def __init__(self, connection):
-        self.lock = multiprocessing.Lock()
-        self.connection = connection
+    Messages out: ('get_image', idx) / ('update_image', idx) /
+    ('checkpoint', None). Messages in: ('image', payload). Stale previews
+    (for a frame the user already navigated away from) are discarded
+    here, not in the window.
+    """
 
-    def get_image(self, image_index):
-        with self.lock:
-            self.connection.send(('get_image', image_index))
+    def __init__(self, flags, on_preview):
+        self.on_preview = on_preview
+        self._current_frame = 0
+        self._process = None
+        self._pipe = None
+        if not flags.dry:
+            from torch import multiprocessing
+            self._pipe, child_end = multiprocessing.Pipe()
+            self._process = multiprocessing.Process(
+                target=_run_backend, args=(flags, child_end))
+            self._process.start()
 
-    def update_image(self, image_index):
-        with self.lock:
-            self.connection.send(('update_image', image_index))
+    @property
+    def live(self):
+        return self._pipe is not None
+
+    def request_preview(self, frame_index):
+        self._current_frame = frame_index
+        self._send(('get_image', frame_index))
+
+    def labels_changed(self, frame_index):
+        self._send(('update_image', frame_index))
 
     def save_checkpoint(self):
-        self.connection.send(('checkpoint', None))
+        self._send(('checkpoint', None))
+
+    def poll(self):
+        """Drain the pipe; forward the newest preview for the current
+        frame to on_preview."""
+        if not self.live:
+            return
+        while self._pipe.poll():
+            kind, payload = self._pipe.recv()
+            if kind == 'image' and \
+                    payload['image_index'] == self._current_frame:
+                self.on_preview(payload)
+
+    def stop(self):
+        if self._process is not None:
+            self._process.terminate()
+            self._process.join()
+            self._process = None
+
+    def _send(self, message):
+        if self.live:
+            self._pipe.send(message)
 
 
-class ImagesView(QtWidgets.QHBoxLayout):
-    """Canvas on the left, live rgb/depth/feature previews on the right."""
+class PreviewStrip(QtWidgets.QWidget):
+    """Vertical strip of live renders: rgb / depth / feature-PCA."""
 
-    def __init__(self, canvas, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        image_size = (480, 320)
-        size_policy = QtWidgets.QSizePolicy(
-            QtWidgets.QSizePolicy.Policy.Expanding,
-            QtWidgets.QSizePolicy.Policy.Expanding)
-        size_policy.setHeightForWidth(True)
-        size_policy.setWidthForHeight(True)
-        small_policy = QtWidgets.QSizePolicy(
-            QtWidgets.QSizePolicy.Policy.Preferred,
-            QtWidgets.QSizePolicy.Policy.Expanding)
-        small_policy.setWidthForHeight(True)
-        small_policy.setHeightForWidth(True)
+    def __init__(self):
+        super().__init__()
+        layout = QtWidgets.QVBoxLayout(self)
+        self.views = {}
+        for name in ('rgb', 'depth', 'features'):
+            label = QtWidgets.QLabel(name)
+            label.setScaledContents(True)
+            label.setMinimumSize(160, 120)
+            layout.addWidget(label)
+            self.views[name] = label
 
-        self.canvas = canvas
-        self.canvas.setSizePolicy(size_policy)
-        self.rgb_view = QtWidgets.QLabel()
-        self.depth_view = QtWidgets.QLabel()
-        self.feature_view = QtWidgets.QLabel()
-        for view in (self.rgb_view, self.depth_view, self.feature_view):
-            view.setScaledContents(True)
-            view.setSizePolicy(small_policy)
+    def update_preview(self, payload):
+        rgb = (np.clip(payload['rgb'], 0, 1) * 255).astype(np.uint8)
+        self._set('rgb', rgb)
+        self._set('depth', visualization.visualize_depth(payload['depth']))
+        if payload.get('features') is not None:
+            feat = (np.clip(payload['features'], 0, 1) * 255).astype(np.uint8)
+            self._set('features', feat)
 
-        self.color = QtGui.QPixmap(image_size[0], image_size[1])
-        self.depth = QtGui.QPixmap(image_size[0], image_size[1])
-        self.features = QtGui.QPixmap(image_size[0], image_size[1])
-        self.reset()
+    def _set(self, name, array):
+        array = np.ascontiguousarray(array)
+        h, w = array.shape[:2]
+        image = QtGui.QImage(array.data, w, h, array.strides[0],
+                             QtGui.QImage.Format.Format_RGB888)
+        self.views[name].setPixmap(QtGui.QPixmap.fromImage(image.copy()))
 
-        self.images_layout = QtWidgets.QVBoxLayout()
-        self.images_layout.addWidget(self.rgb_view)
-        self.images_layout.addWidget(self.depth_view)
-        self.images_layout.addWidget(self.feature_view)
-        self.addWidget(canvas)
-        self.addLayout(self.images_layout)
-
-    def set_color(self, nparray):
-        qimage = ImageQt(
-            Image.fromarray((np.clip(nparray, 0, 1) * 255).astype(np.uint8)))
-        self.color = QtGui.QPixmap.fromImage(qimage)
-        self.rgb_view.setPixmap(self.color)
-        self.rgb_view.repaint()
-
-    def set_depth(self, nparray):
-        image = visualization.visualize_depth(nparray)
-        qimage = ImageQt(Image.fromarray(image))
-        self.depth = QtGui.QPixmap.fromImage(qimage)
-        self.depth_view.setPixmap(self.depth)
-        self.depth_view.repaint()
-
-    def set_features(self, nparray):
-        image = Image.fromarray((nparray * 255).astype(np.uint8))
-        self.features = QtGui.QPixmap.fromImage(ImageQt(image))
-        self.feature_view.setPixmap(self.features)
-        self.feature_view.repaint()
-
-    def reset(self):
-        for pixmap, view in ((self.color, self.rgb_view),
-                             (self.depth, self.depth_view),
-                             (self.features, self.feature_view)):
-            pixmap.fill(QtGui.QColor(0, 0, 0, 255))
-            view.setPixmap(pixmap)
+    def clear(self):
+        for label in self.views.values():
+            label.setPixmap(QtGui.QPixmap())
 
 
-class SceneViewer(QWidget):
+class LabelerWindow(QtWidgets.QMainWindow):
 
     def __init__(self, flags):
         super().__init__()
-        self.flags = flags
+        self.setWindowTitle('autolabel-tpu')
         self.scene = Scene(flags.scene)
-        self.image_names = self.scene.image_names()
-        self.rgb_paths = self.scene.rgb_paths()
-        self._image_cache = {}
-        self._drawings = {}
-        self.setWindowTitle("Autolabel")
+        self.frame_names = self.scene.image_names()
+        self.frame_paths = self.scene.rgb_paths()
 
-        self.slider = QtWidgets.QSlider(QtCore.Qt.Orientation.Horizontal)
-        self.slider.setMinimum(0)
-        self.slider.setMaximum(len(self.rgb_paths) - 1)
-        self.slider.valueChanged.connect(self._slider_value_change)
+        cam_w, cam_h = self.scene.camera.size
+        canvas_size = (CANVAS_WIDTH,
+                       int(round(CANVAS_WIDTH * cam_h / cam_w)))
+        self.annotations = AnnotationStore(flags.scene, canvas_size)
+        self.annotations.load_existing()
 
-        size = self.scene.camera.size
-        width = 720
-        image_height = width / size[0] * size[1]
-        self.canvas = Canvas(width, image_height, self._canvas_callback)
+        self.n_classes = self.scene.n_classes or 2
+        self.active_class = 1
+        self.frame_index = 0
+        self._photo_cache = {}
 
-        self.class_label = QtWidgets.QLabel("Current class: 1")
-        self.bottom_bar = QtWidgets.QHBoxLayout()
-        self.bottom_bar.addWidget(self.slider)
-        self.bottom_bar.addWidget(self.class_label)
+        self.canvas = PaintCanvas(canvas_size, self._on_stroke,
+                                  self._on_stroke_end)
+        self.previews = PreviewStrip()
 
-        self.images_view = ImagesView(self.canvas)
-        self.layout = QtWidgets.QVBoxLayout()
-        self.layout.addLayout(self.images_view)
-        self.layout.addLayout(self.bottom_bar)
-        self.setLayout(self.layout)
+        splitter = QtWidgets.QSplitter()
+        splitter.addWidget(self.canvas)
+        splitter.addWidget(self.previews)
+        splitter.setStretchFactor(0, 3)
+        splitter.setStretchFactor(1, 1)
+        self.setCentralWidget(splitter)
 
-        self.load()
-        self.connection, child_connection = multiprocessing.Pipe()
-        self.message_bus = MessageBus(self.connection)
-        self.process = multiprocessing.Process(target=training_loop,
-                                               args=(flags,
-                                                     child_connection))
-        if not self.flags.dry:
-            self.process.start()
+        self.frame_slider = QtWidgets.QSlider(
+            QtCore.Qt.Orientation.Horizontal)
+        self.frame_slider.setRange(0, len(self.frame_names) - 1)
+        self.frame_slider.valueChanged.connect(self.show_frame)
+        toolbar = self.addToolBar('frames')
+        toolbar.addWidget(self.frame_slider)
+        self.class_indicator = QtWidgets.QLabel()
+        toolbar.addWidget(self.class_indicator)
+        self._update_class_indicator()
 
-        self.timer = QtCore.QTimer()
-        self.timer.timeout.connect(self._request_image)
-        self.timer.setInterval(INFERENCE_UPDATE_INTERVAL)
-        self.timer.start(INFERENCE_UPDATE_INTERVAL)
-        self.image_loop_timer = QtCore.QTimer()
-        self.image_loop_timer.timeout.connect(self._update_image)
-        self.image_loop_timer.setInterval(50)
-        self.image_loop_timer.start(50)
+        self.backend = BackendClient(flags, self._on_preview)
+        self.preview_timer = QtCore.QTimer(self)
+        self.preview_timer.timeout.connect(self._request_preview)
+        self.preview_timer.start(PREVIEW_INTERVAL_MS)
+        self.poll_timer = QtCore.QTimer(self)
+        self.poll_timer.timeout.connect(self.backend.poll)
+        self.poll_timer.start(PIPE_POLL_MS)
 
-        self._set_image(0)
+        self.show_frame(0)
 
-    def log(self, message):
-        print(message)
+    # -- frame navigation ----------------------------------------------
 
-    def _request_image(self):
-        if self.connection is None:
-            return
-        self.log(f"requesting {self.current_image}")
-        self.message_bus.get_image(self.current_image_index)
+    @property
+    def frame_name(self):
+        return self.frame_names[self.frame_index]
 
-    def _update_image(self):
-        if self.connection.poll():
-            message_type, payload = self.connection.recv()
-            if message_type == 'image':
-                self._new_image_cb(payload)
+    def show_frame(self, index):
+        self.frame_index = int(index)
+        photo = self._photo_cache.get(self.frame_index)
+        if photo is None:
+            bgr = cv2.imread(self.frame_paths[self.frame_index])
+            photo = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            self._photo_cache[self.frame_index] = photo
+        self.canvas.show_photo(photo)
+        self.canvas.clear_prediction()
+        self.canvas.show_labels(self.annotations.get(self.frame_name))
+        self.previews.clear()
+        self._request_preview()
+        self.preview_timer.start(PREVIEW_INTERVAL_MS)
 
-    def _new_image_cb(self, payload):
-        if payload['image_index'] != self.current_image_index:
-            return
-        self.canvas.set_inferred(np.asarray(payload['semantic']))
-        self.images_view.set_color(np.asarray(payload['rgb']))
-        self.images_view.set_depth(np.asarray(payload['depth']))
-        if payload['features'] is not None:
-            self.images_view.set_features(payload['features'])
+    # -- painting ----------------------------------------------------------
 
-    def _canvas_callback(self):
-        # Mouse button released on the canvas: persist + notify trainer.
-        self.log(f'Saving image {self.current_image}')
-        self._save_image(self.current_image)
-        self.message_bus.update_image(self.current_image_index)
+    def _on_stroke(self, p0, p1):
+        bitmap = self.annotations.paint_stroke(self.frame_name, p0, p1,
+                                               self.active_class,
+                                               self.canvas.brush_radius)
+        self.canvas.show_labels(bitmap)
 
-    def _slider_value_change(self):
-        self._set_image(self.slider.value())
+    def _on_stroke_end(self):
+        if self.annotations.save(self.frame_name):
+            self.backend.labels_changed(self.frame_index)
 
-    def _set_image(self, index):
-        self.current_image = self.image_names[index]
-        self.current_image_index = index
-        if self.current_image not in self._image_cache:
-            self._image_cache[self.current_image] = Image.open(
-                self.rgb_paths[index])
+    def select_class(self, class_id):
+        # Re-selecting the active class flips back to background — same
+        # toggle the reference uses (gui.py:291-294).
+        self.active_class = 0 if class_id == self.active_class else class_id
+        self._update_class_indicator()
 
-        drawing = self._drawings.get(self.current_image)
-        if drawing is None:
-            drawing = QtGui.QImage(self.canvas.canvas_width,
-                                   self.canvas.canvas_height,
-                                   QtGui.QImage.Format.Format_RGB888)
-            drawing.fill(0)
-            self._drawings[self.current_image] = drawing
-        image = self._image_cache[self.current_image]
-        self.canvas.set_image(image, drawing)
-        self.images_view.reset()
-        self._request_image()
-        self.timer.start(INFERENCE_UPDATE_INTERVAL)
+    def _update_class_indicator(self):
+        self.class_indicator.setText(f'  class: {self.active_class}  ')
+
+    def clear_current_frame(self):
+        self.annotations.clear(self.frame_name)
+        path = os.path.join(self.annotations.semantic_dir,
+                            f'{self.frame_name}.png')
+        if os.path.exists(path):
+            os.remove(path)
+        self.canvas.show_labels(self.annotations.get(self.frame_name))
+        self.backend.labels_changed(self.frame_index)
+
+    # -- backend -------------------------------------------------------------
+
+    def _request_preview(self):
+        self.backend.request_preview(self.frame_index)
+
+    def _on_preview(self, payload):
+        self.canvas.show_prediction(payload['semantic'])
+        self.previews.update_preview(payload)
+
+    def save_session(self):
+        self.annotations.save_all()
+        self.backend.save_checkpoint()
+
+    # -- keys / lifecycle ------------------------------------------------
 
     def keyPressEvent(self, event):
         key = event.key()
-        modifiers = QtWidgets.QApplication.keyboardModifiers()
+        ctrl = event.modifiers() & QtCore.Qt.KeyboardModifier.ControlModifier
         if key in (QtCore.Qt.Key.Key_Escape, QtCore.Qt.Key.Key_Q):
-            self.shutdown()
-        elif key in NUM_KEYS:
-            self.set_class(NUM_KEYS.index(key))
-        elif (key == QtCore.Qt.Key.Key_S and
-              modifiers == QtCore.Qt.KeyboardModifier.ControlModifier):
-            self.save()
+            self.close()
+        elif key == QtCore.Qt.Key.Key_S and ctrl:
+            self.save_session()
         elif key == QtCore.Qt.Key.Key_C:
-            self.clear_image()
-
-    def save(self):
-        for image_name in self._drawings.keys():
-            self._save_image(image_name)
-        self.message_bus.save_checkpoint()
-
-    def _save_image(self, image_name):
-        semantic_dir = os.path.join(self.scene.path, 'semantic')
-        os.makedirs(semantic_dir, exist_ok=True)
-        drawing = self._drawings[image_name]
-        array = np.asarray(fromqimage(drawing))[:, :, 0]
-        if array.max() == 0:
-            return  # canvas is empty
-        Image.fromarray(array).save(
-            os.path.join(semantic_dir, f"{image_name}.png"))
-
-    def load(self):
-        semantic_dir = os.path.join(self.scene.path, 'semantic')
-        if not os.path.exists(semantic_dir):
-            return
-        for image in os.listdir(semantic_dir):
-            image_name = image.split('.')[0]
-            array = np.array(Image.open(os.path.join(
-                semantic_dir, image))).astype(np.uint8)
-            array = np.repeat(array[:, :, None], 3, axis=2)
-            self._drawings[image_name] = ImageQt(Image.fromarray(array))
-
-    def clear_image(self):
-        drawing = QtGui.QImage(self.canvas.canvas_width,
-                               self.canvas.canvas_height,
-                               QtGui.QImage.Format.Format_Grayscale8)
-        drawing.fill(0)
-        self._drawings[self.current_image] = drawing
-        self._set_image(self.current_image_index)
-        self.canvas.set_image(self._image_cache[self.current_image], drawing)
-        self._canvas_callback()
-
-    def set_class(self, class_index):
-        if class_index == self.canvas.active_class:
-            class_index = 0
-        self.canvas.set_class(class_index)
-        self.class_label.setText(f"Current class: {self.canvas.active_class}")
+            self.clear_current_frame()
+        else:
+            text = event.text()
+            if text in CLASS_KEYS and int(text) < self.n_classes:
+                self.select_class(int(text))
 
     def closeEvent(self, event):
-        self._close()
-
-    def _close(self):
-        if not self.flags.dry:
-            self.process.terminate()
-            self.process.join()
-
-    def shutdown(self):
-        self._close()
-        self.close()
+        self.backend.stop()
+        event.accept()
 
 
 def main():
-    multiprocessing.set_start_method('spawn')
     flags = read_args()
-    app = QApplication([])
-    viewer = SceneViewer(flags)
-    viewer.show()
+    from torch import multiprocessing
+    multiprocessing.set_start_method('spawn')
+    app = QtWidgets.QApplication([])
+    window = LabelerWindow(flags)
+    window.show()
     app.exec()
 
 
-if __name__ == "__main__":
+if __name__ == '__main__':
     main()

@@ -1,116 +1,118 @@
-"""Text-prompt class editor: publishes '|'-joined open-vocab prompts on
-/autolabel/segmentation_classes for the online node.
+"""Text-prompt class editor for the online (ROS) open-vocab node.
 
-CLI parity: reference scripts/ros/class_input.py. Requires PyQt6 + rospy.
+Behavior contract (reference /root/reference/scripts/ros/class_input.py):
+a small window maintaining an ordered list of natural-language class
+prompts, publishing the '|'-joined list on /autolabel/segmentation_classes
+whenever it changes; row colors match the segmentation palette; the first
+entry is always the background prompt; Esc closes.
+
+Rebuilt around a model/view split: PromptList is a plain-python state
+object (testable without Qt or ROS), the window renders it with a
+QListWidget, and publishing goes through a ROS-agnostic callback.
 """
 import os
 import sys
 
-from PyQt6 import QtCore, QtWidgets
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))))
-
-import rospy
-from std_msgs.msg import String
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
 
 from autolabel_tpu.constants import COLORS
 
-DEFAULT_CLASS = "background; other"
-_COLORS_255 = (COLORS * 255).astype(int)
+TOPIC = '/autolabel/segmentation_classes'
+BACKGROUND_PROMPT = 'background; other'
 
 
-class ListView(QtWidgets.QWidget):
+class PromptList:
+    """Ordered class prompts; index 0 is the background prompt."""
 
-    def __init__(self, parent=None):
-        super().__init__(parent)
-        self.layout = QtWidgets.QVBoxLayout()
-        self.setLayout(self.layout)
-        self.items = []
+    def __init__(self, on_change=None):
+        self._prompts = [BACKGROUND_PROMPT]
+        self._on_change = on_change or (lambda encoded: None)
 
-    def add_item(self, item):
-        index = len(self.items)
-        color = _COLORS_255[index % len(_COLORS_255)]
-        self.items.append(item)
-        label = QtWidgets.QLabel(item)
-        label.setMargin(20)
-        label.setStyleSheet(
-            f"background-color: rgb({color[0]}, {color[1]}, {color[2]});")
-        self.layout.addWidget(label)
-        self.update()
+    @property
+    def prompts(self):
+        return list(self._prompts)
 
-    def encode_items(self):
-        return "|".join(self.items)
+    def encoded(self):
+        return '|'.join(self._prompts)
+
+    def add(self, prompt):
+        prompt = prompt.strip()
+        if not prompt:
+            return False
+        self._prompts.append(prompt)
+        self._on_change(self.encoded())
+        return True
 
     def reset(self):
-        self.items = []
-        for i in reversed(range(self.layout.count())):
-            self.layout.itemAt(i).widget().setParent(None)
-        self.add_item(DEFAULT_CLASS)
+        self._prompts = [BACKGROUND_PROMPT]
+        self._on_change(self.encoded())
 
-
-class SegmentingApplication(QtWidgets.QMainWindow):
-
-    def __init__(self):
-        super().__init__()
-        self.setWindowTitle("Segmentation Classes")
-        self.input_button = QtWidgets.QPushButton("Add")
-        self.input_button.clicked.connect(self._add_class)
-        self.reset_button = QtWidgets.QPushButton("Reset")
-        self.reset_button.clicked.connect(self._reset_classes)
-        self.list_view = ListView()
-        input_line = self._create_input_line()
-        layout = QtWidgets.QVBoxLayout()
-        layout.addWidget(self.list_view)
-        layout.addWidget(input_line)
-        main_widget = QtWidgets.QWidget()
-        main_widget.setLayout(layout)
-        self.setCentralWidget(main_widget)
-        self._init_ros()
-        self.list_view.add_item(DEFAULT_CLASS)
-        self._publish_classes()
-
-    def _init_ros(self):
-        self.pub = rospy.Publisher("/autolabel/segmentation_classes",
-                                   String,
-                                   queue_size=1)
-
-    def _create_input_line(self):
-        layout = QtWidgets.QHBoxLayout()
-        self.line_edit = QtWidgets.QLineEdit()
-        self.line_edit.setPlaceholderText("Class description prompt")
-        self.line_edit.returnPressed.connect(self._add_class)
-        layout.addWidget(self.line_edit)
-        layout.addWidget(self.input_button)
-        layout.addWidget(self.reset_button)
-        widget = QtWidgets.QWidget()
-        widget.setLayout(layout)
-        return widget
-
-    def keyPressEvent(self, event):
-        if event.key() == QtCore.Qt.Key.Key_Escape:
-            self.close()
-
-    def _add_class(self):
-        self.list_view.add_item(self.line_edit.text())
-        self.line_edit.clear()
-        self._publish_classes()
-
-    def _reset_classes(self):
-        self.list_view.reset()
-        self._publish_classes()
-
-    def _publish_classes(self):
-        self.pub.publish(String(self.list_view.encode_items()))
+    def color(self, index):
+        return tuple(int(c) for c in COLORS[index % len(COLORS)])
 
 
 def main():
-    app = QtWidgets.QApplication(sys.argv)
+    import rospy
+    from PyQt6 import QtCore, QtGui, QtWidgets
+    from std_msgs.msg import String
+
     rospy.init_node('segmentation_prompt_gui')
-    window = SegmentingApplication()
+    publisher = rospy.Publisher(TOPIC, String, queue_size=1)
+
+    app = QtWidgets.QApplication(sys.argv)
+
+    window = QtWidgets.QWidget()
+    window.setWindowTitle('Open-vocab classes')
+    prompts = PromptList(
+        on_change=lambda encoded: publisher.publish(String(encoded)))
+
+    list_widget = QtWidgets.QListWidget()
+    entry = QtWidgets.QLineEdit()
+    entry.setPlaceholderText('Describe a class to segment…')
+    add_button = QtWidgets.QPushButton('Add')
+    reset_button = QtWidgets.QPushButton('Reset')
+
+    def refresh():
+        list_widget.clear()
+        for i, prompt in enumerate(prompts.prompts):
+            item = QtWidgets.QListWidgetItem(prompt)
+            r, g, b = prompts.color(i)
+            item.setBackground(QtGui.QColor(r, g, b))
+            list_widget.addItem(item)
+
+    def add_prompt():
+        if prompts.add(entry.text()):
+            entry.clear()
+            refresh()
+
+    def reset_prompts():
+        prompts.reset()
+        refresh()
+
+    add_button.clicked.connect(add_prompt)
+    entry.returnPressed.connect(add_prompt)
+    reset_button.clicked.connect(reset_prompts)
+
+    buttons = QtWidgets.QHBoxLayout()
+    buttons.addWidget(entry)
+    buttons.addWidget(add_button)
+    buttons.addWidget(reset_button)
+    layout = QtWidgets.QVBoxLayout(window)
+    layout.addWidget(list_widget)
+    layout.addLayout(buttons)
+
+    shortcut = QtGui.QShortcut(QtGui.QKeySequence(
+        QtCore.Qt.Key.Key_Escape), window)
+    shortcut.activated.connect(window.close)
+
+    refresh()
+    prompts.reset()  # publish the initial class list once at startup
     window.show()
     app.exec()
 
 
-if __name__ == "__main__":
+if __name__ == '__main__':
     main()
