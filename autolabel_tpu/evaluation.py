@@ -87,14 +87,16 @@ class OpenVocabEvaluator:
                  debug=False,
                  stride=1,
                  save_figures=None,
-                 time=False):
+                 time=False,
+                 allow_fallback=False):
         self.name = name
         self.debug = debug
         self.stride = stride
         self.model = None
         self.label_map = None
         self.features = features
-        self.extractor = get_feature_extractor(features, checkpoint)
+        self.extractor = get_feature_extractor(
+            features, checkpoint, allow_fallback=allow_fallback)
         self.save_figures = save_figures
         self.time = time
 

@@ -18,7 +18,7 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 class Dino:
     out_dim = 384
 
-    def __init__(self):
+    def __init__(self, allow_fallback=False):
         self._model = None
         try:
             import torch
@@ -27,6 +27,12 @@ class Dino:
             self._model.eval()
             self._torch = torch
         except Exception as e:  # offline / no weights
+            if not allow_fallback:
+                raise RuntimeError(
+                    "DINO ViT-S/8 weights are unavailable (torch hub "
+                    f"load failed: {e!r}). Pass --allow-fallback to use "
+                    "deterministic random-projection stand-in features "
+                    "(testing only — NOT real DINO features).") from e
             warnings.warn(
                 f"DINO weights unavailable ({e!r}); using deterministic "
                 "fallback features.")

@@ -17,7 +17,7 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 class FCN50:
     out_dim = 512
 
-    def __init__(self):
+    def __init__(self, allow_fallback=False):
         self._extractor = None
         try:
             import torch
@@ -29,6 +29,12 @@ class FCN50:
                 model, return_nodes={'classifier.2': 'features'})
             self._torch = torch
         except Exception as e:
+            if not allow_fallback:
+                raise RuntimeError(
+                    "FCN-ResNet50 weights are unavailable (torchvision "
+                    f"load failed: {e!r}). Pass --allow-fallback to use "
+                    "deterministic random-projection stand-in features "
+                    "(testing only — NOT real FCN features).") from e
             warnings.warn(
                 f"FCN-ResNet50 weights unavailable ({e!r}); using "
                 "deterministic fallback features.")

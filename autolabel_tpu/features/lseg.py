@@ -15,7 +15,7 @@ from autolabel_tpu.features.fallback import (HashTextEncoder,
 class LSegFE:
     out_dim = 512
 
-    def __init__(self, checkpoint=None):
+    def __init__(self, checkpoint=None, allow_fallback=False):
         self._evaluator = None
         self._text_encoder = None
         try:
@@ -47,6 +47,12 @@ class LSegFE:
             self._torch = torch
             self._text_encoder = module.net.clip_pretrained
         except Exception as e:
+            if not allow_fallback:
+                raise RuntimeError(
+                    "LSeg (lang-seg + CLIP) is unavailable "
+                    f"({e!r}). Pass --allow-fallback to use deterministic "
+                    "stand-in features + hash text encoder (testing only "
+                    "— NOT real vision-language features).") from e
             warnings.warn(
                 f"LSeg unavailable ({e!r}); using deterministic fallback "
                 "features + hash text encoder.")

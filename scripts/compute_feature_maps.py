@@ -43,6 +43,10 @@ def read_args():
                         help="Which model weights to use.")
     parser.add_argument('--dim', type=int, default=64)
     parser.add_argument('--autoencode', action='store_true')
+    parser.add_argument('--allow-fallback', action='store_true',
+                        help="Permit deterministic stand-in features "
+                        "when real teacher weights are unavailable "
+                        "(testing only).")
     return parser.parse_args()
 
 
@@ -177,7 +181,9 @@ def main():
     with h5py.File(os.path.join(scene.path, 'features.hdf'), 'w',
                    libver='latest') as output_file:
         group = output_file.create_group('features')
-        extractor = get_feature_extractor(flags.features, flags.checkpoint)
+        extractor = get_feature_extractor(
+            flags.features, flags.checkpoint,
+            allow_fallback=flags.allow_fallback)
         extract_features(extractor, scene, group, flags)
         if flags.vis:
             visualize_features(group[flags.features])

@@ -40,6 +40,10 @@ def read_args():
     parser.add_argument('--label-map', type=str, required=True)
     parser.add_argument('--feature-checkpoint', '-f', type=str,
                         default=None)
+    parser.add_argument('--allow-fallback', action='store_true',
+                        help="Permit deterministic stand-in features/text "
+                        "embeddings when real teacher weights are "
+                        "unavailable (testing only).")
     parser.add_argument(
         '--stride',
         type=int,
@@ -161,7 +165,8 @@ def main(flags):
                             stride=flags.stride,
                             debug=flags.debug,
                             save_figures=vis_path,
-                            time=flags.time)
+                            time=flags.time,
+                            allow_fallback=flags.allow_fallback)
         assert evaluator.features == params.features
         evaluator.reset(model, label_map, vis_path)
         iou, acc = evaluator.eval(dataset)

@@ -35,6 +35,9 @@ def read_args():
         default=7.5,
         help="The maximum depth used in colormapping the depth frames.")
     parser.add_argument('--checkpoint', type=str)
+    parser.add_argument('--allow-fallback', action='store_true',
+                        help="Permit stand-in text embeddings when "
+                        "teacher weights are unavailable (testing).")
     parser.add_argument('--out',
                         type=str,
                         required=True,
@@ -58,7 +61,8 @@ class FeatureTransformer:
     """PCA visualization + text features from the features.hdf attrs
     contract (reference render.py:44-66)."""
 
-    def __init__(self, scene_path, feature_name, classes, checkpoint=None):
+    def __init__(self, scene_path, feature_name, classes, checkpoint=None,
+                 allow_fallback=False):
         with h5py.File(os.path.join(scene_path, 'features.hdf'), 'r') as f:
             features = f[f'features/{feature_name}']
             self.pca = pickle.loads(features.attrs['pca'].tobytes())
@@ -66,7 +70,8 @@ class FeatureTransformer:
             self.feature_range = features.attrs['range']
         self.text_features = None
         if classes is not None:
-            extractor = get_feature_extractor(feature_name, checkpoint)
+            extractor = get_feature_extractor(
+                feature_name, checkpoint, allow_fallback=allow_fallback)
             self.text_features = extractor.encode_text(classes)
 
     def __call__(self, p_features):
@@ -133,9 +138,9 @@ def main():
 
     feature_transform = None
     if model_params.features is not None:
-        feature_transform = FeatureTransformer(flags.scene,
-                                               model_params.features, classes,
-                                               flags.checkpoint)
+        feature_transform = FeatureTransformer(
+            flags.scene, model_params.features, classes, flags.checkpoint,
+            allow_fallback=flags.allow_fallback)
 
     n_classes = dataset.n_classes if dataset.n_classes is not None else 2
     field = model_utils.create_model(dataset.min_bounds, dataset.max_bounds,

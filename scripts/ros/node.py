@@ -51,6 +51,9 @@ def read_args():
                         type=str,
                         default=None,
                         help='path to feature model checkpoint')
+    parser.add_argument('--allow-fallback', action='store_true',
+                        help="Permit stand-in features when teacher "
+                        "weights are unavailable (testing only).")
     parser.add_argument(
         '--log',
         default=None,
@@ -93,10 +96,11 @@ class Frame:
 class Bridge:
     """ROS <-> numpy conversions + live open-vocab preview coloring."""
 
-    def __init__(self, features, checkpoint):
+    def __init__(self, features, checkpoint, allow_fallback=False):
         self.tf_listener = tf.TransformListener()
         self.bridge = CvBridge()
-        self.feature_extractor = get_feature_extractor(features, checkpoint)
+        self.feature_extractor = get_feature_extractor(
+            features, checkpoint, allow_fallback=allow_fallback)
         self.set_prompts(["background", "other"])
 
     def set_prompts(self, prompts):
@@ -251,7 +255,8 @@ class AutolabelNode:
 
     def __init__(self, flags):
         self.reading = True
-        self.bridge = Bridge(flags.features, flags.checkpoint)
+        self.bridge = Bridge(flags.features, flags.checkpoint,
+                             allow_fallback=flags.allow_fallback)
         self.sync_threshold = 1.0 / 60.0
         self.training_loop = TrainingLoop(self.bridge, flags.bound)
         self.image_sub = rospy.Subscriber('/slam/rgb', Image,

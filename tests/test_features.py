@@ -18,7 +18,7 @@ def features_hdf(sphere_scene, tmp_path_factory):
     """Run the compute_feature_maps CLI (fallback dino teacher, 16-d)."""
     import compute_feature_maps
     old_argv = sys.argv
-    sys.argv = ['compute_feature_maps.py', sphere_scene, '--features',
+    sys.argv = ['compute_feature_maps.py', sphere_scene, '--allow-fallback', '--features',
                 'dino', '--dim', '16']
     try:
         compute_feature_maps.main()
@@ -44,7 +44,7 @@ def test_features_hdf_contract(features_hdf):
 def test_autoencode_roundtrip(sphere_scene, features_hdf):
     import compute_feature_maps
     old_argv = sys.argv
-    sys.argv = ['compute_feature_maps.py', sphere_scene, '--features',
+    sys.argv = ['compute_feature_maps.py', sphere_scene, '--allow-fallback', '--features',
                 'dino', '--dim', '8', '--autoencode']
     try:
         compute_feature_maps.main()
@@ -53,7 +53,7 @@ def test_autoencode_roundtrip(sphere_scene, features_hdf):
     with h5py.File(features_hdf, 'r') as f:
         assert f['features/dino'].shape[-1] == 8
     # Restore the 16-d maps for the training test below.
-    sys.argv = ['compute_feature_maps.py', sphere_scene, '--features',
+    sys.argv = ['compute_feature_maps.py', sphere_scene, '--allow-fallback', '--features',
                 'dino', '--dim', '16']
     try:
         compute_feature_maps.main()

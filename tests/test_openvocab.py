@@ -87,7 +87,7 @@ def trained_model(openvocab_scene):
 def test_openvocab_2d(openvocab_scene, trained_model):
     dataset = SceneDataset('test', openvocab_scene, factor=1.0,
                            batch_size=512)
-    evaluator = OpenVocabEvaluator2D(features='lseg', stride=6)
+    evaluator = OpenVocabEvaluator2D(features='lseg', stride=6, allow_fallback=True)
     evaluator.reset(trained_model, LABEL_MAP)
     iou, acc = evaluator.eval(dataset)
     assert 'total' in iou and 'total' in acc
@@ -101,7 +101,7 @@ def test_openvocab_2d(openvocab_scene, trained_model):
 def test_openvocab_3d(openvocab_scene, trained_model):
     dataset = SceneDataset('test', openvocab_scene, factor=1.0,
                            batch_size=512)
-    evaluator = OpenVocabEvaluator3D(features='lseg')
+    evaluator = OpenVocabEvaluator3D(features='lseg', allow_fallback=True)
     evaluator.reset(trained_model, LABEL_MAP)
     iou, acc = evaluator.eval(dataset)
     assert 'total' in iou
@@ -116,6 +116,6 @@ def test_openvocab_evaluated_subset(openvocab_scene, trained_model):
     label_map = pandas.DataFrame({'id': [1, 2],
                                   'prompt': ['background', 'sphere'],
                                   'evaluated': [0, 1]})
-    evaluator = OpenVocabEvaluator2D(features='lseg', stride=6)
+    evaluator = OpenVocabEvaluator2D(features='lseg', stride=6, allow_fallback=True)
     evaluator.reset(trained_model, label_map)
     assert list(evaluator.evaluated_labels) == [2]
