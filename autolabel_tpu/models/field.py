@@ -112,16 +112,19 @@ class Field:
 
     # -- encodings ---------------------------------------------------------
 
-    def _grid_encode(self, table, normalized, key=None, n_samples=1):
+    def _grid_encode(self, table, normalized, key=None, n_samples=1,
+                     exact_levels=0):
         c = self.config
         if c.grid_impl == 'pallas' and key is None:
             from autolabel_tpu.ops.hashgrid_pallas import (
                 hashgrid_encode_hybrid)
             return hashgrid_encode_hybrid(table, normalized, c.grid_config)
         return hashgrid_encode(table, normalized, c.grid_config, key=key,
-                               n_samples=n_samples)
+                               n_samples=n_samples,
+                               exact_levels=exact_levels)
 
-    def encode(self, params: Params, x, key=None, n_samples=1):
+    def encode(self, params: Params, x, key=None, n_samples=1,
+               exact_levels=0):
         """Positional encoding of (N, 3) points in [-bound, bound].
 
         key: optional PRNG key for stochastic-corner hash-grid gathers
@@ -135,22 +138,24 @@ class Field:
             return frequency_encode(normalized, 10)
         if c.encoding == 'hg':
             return self._grid_encode(params['encoder']['grid'], normalized,
-                                     key, n_samples)
+                                     key, n_samples, exact_levels)
         if c.encoding == 'hg+freq':
             # Frequency part runs on the raw coordinates, grid on the
             # normalized ones (parity: autolabel/models.py:51-59).
             freq = frequency_encode(x, 2)
             grid = self._grid_encode(params['encoder']['grid'], normalized,
-                                     key, n_samples)
+                                     key, n_samples, exact_levels)
             return jnp.concatenate([freq, grid], axis=-1)
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
     # -- heads --------------------------------------------------------------
 
-    def density(self, params: Params, x, key=None, n_samples=1):
+    def density(self, params: Params, x, key=None, n_samples=1,
+                exact_levels=0):
         """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
         h = mlp_apply(params['sigma_net'],
-                      self.encode(params, x, key=key, n_samples=n_samples))
+                      self.encode(params, x, key=key, n_samples=n_samples,
+                                  exact_levels=exact_levels))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
 

@@ -159,8 +159,9 @@ def _grid_geometry(x, config):
     return cell.astype(jnp.int32), frac, stride, use_dense
 
 
-@functools.partial(jax.jit, static_argnames=('config', 'n_samples'))
-def hashgrid_encode(table, x, config, key=None, n_samples=1):
+@functools.partial(jax.jit,
+                   static_argnames=('config', 'n_samples', 'exact_levels'))
+def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0):
     """Encode (N, 3) points in [0, 1] -> (N, n_levels * n_features).
 
     Two formulations, chosen by feature width (both exact):
@@ -184,10 +185,13 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1):
     averaged; draws come in ANTITHETIC pairs (u, 1-u) — each unbiased,
     negatively correlated — so n_samples=2 costs 2 rows (4x fewer than
     the full 8-corner gather) with variance well below two independent
-    draws.
+    draws. exact_levels > 0 keeps the FINEST levels exactly interpolated
+    (they carry the detail and, being the most hash-colliding, most of
+    the estimator variance) while coarser levels stay stochastic.
     """
     if key is not None:
-        return _encode_stochastic(table, x, config, key, n_samples)
+        return _encode_stochastic(table, x, config, key, n_samples,
+                                  exact_levels)
     if config.n_features % 8 == 0:
         return _encode_rows(table, x, config)
     return _encode_lanes(table, x, config)
@@ -208,31 +212,25 @@ def _encode_rows(table, x, config):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _sampled_corner_gather(table, x_shape_n, config, cell, stride, use_dense,
-                           upper):
-    """Gather the one corner row selected by `upper` (3, L, N) per
-    (point, level); output (N, L*F)."""
-    n = x_shape_n
-    if config.n_features % 8 == 0:
-        outs = []
-        for l in range(config.n_levels):
-            idx = _corner_index(cell[:, l],
-                                (upper[0, l], upper[1, l], upper[2, l]),
-                                stride[l], use_dense[l], config.table_size)
-            outs.append(jnp.take(table[l], idx, axis=0))
-        return jnp.concatenate(outs, axis=-1)
-
-    # Narrow rows: lanes-layout single-corner gather (see _encode_lanes).
-    level = jnp.arange(config.n_levels, dtype=jnp.int32)[:, None]
-    table_ft = table.transpose(0, 2, 1)  # (L, F, T)
-    f_idx = jnp.arange(config.n_features)[None, :, None]
-    idx = _corner_index(cell, (upper[0], upper[1], upper[2]), stride,
-                        use_dense, config.table_size)  # (L, N)
-    feats = table_ft[level[:, None, :], f_idx, idx[:, None, :]]  # (L, F, N)
-    return feats.reshape(config.out_dim, n).T
+def _one_corner_rows(table, l, cell, stride, use_dense, config, upper_l):
+    """Gather the one level-l corner row selected by upper_l (3, N)."""
+    idx = _corner_index(cell[:, l], (upper_l[0], upper_l[1], upper_l[2]),
+                        stride[l], use_dense[l], config.table_size)
+    return jnp.take(table[l], idx, axis=0)  # (N, F)
 
 
-def _encode_stochastic(table, x, config, key, n_samples):
+def _exact_level_rows(table, l, cell, frac, stride, use_dense, config):
+    """Full 8-corner trilinear interpolation of one level (rows layout)."""
+    acc = jnp.zeros((cell.shape[-1], config.n_features), table.dtype)
+    for corner in _CORNERS:
+        idx = _corner_index(cell[:, l], corner, stride[l], use_dense[l],
+                            config.table_size)
+        weight = _corner_weight(frac[:, l], corner).astype(table.dtype)
+        acc = acc + jnp.take(table[l], idx, axis=0) * weight[:, None]
+    return acc
+
+
+def _encode_stochastic(table, x, config, key, n_samples, exact_levels=0):
     """Average of n_samples sampled-corner gathers; E[output] == trilinear.
 
     The upper corner on each axis is picked independently with
@@ -240,28 +238,72 @@ def _encode_stochastic(table, x, config, key, n_samples):
     the gathered row (weight 1) is an unbiased estimator of the
     interpolated feature. Backward scatters into n_samples rows instead
     of 8. Draws are antithetic pairs (u, 1-u): both uniform, negatively
-    correlated, so pair averages beat independent draws.
+    correlated, so pair averages beat independent draws. The finest
+    `exact_levels` levels are interpolated exactly.
     """
     n = x.shape[0]
     cell, frac, stride, use_dense = _grid_geometry(x, config)
-
-    def draw(u):
-        upper = (u < frac).astype(jnp.int32)  # (3, L, N)
-        return _sampled_corner_gather(table, n, config, cell, stride,
-                                      use_dense, upper)
+    n_levels = config.n_levels
+    n_exact = min(max(exact_levels, 0), n_levels)
 
     n_pairs, odd = divmod(n_samples, 2)
-    keys = jax.random.split(key, max(n_pairs + odd, 1))
+    n_draw_keys = max(n_pairs + odd, 1)
+    keys = jax.random.split(key, n_draw_keys)
+    us = [jax.random.uniform(keys[s], (3, n_levels, n))
+          for s in range(n_pairs + odd)]
+
+    if config.n_features % 8 == 0:
+        def level_stochastic(l):
+            def one(u_l):
+                upper = (u_l < frac[:, l]).astype(jnp.int32)
+                return _one_corner_rows(table, l, cell, stride, use_dense,
+                                        config, upper)
+            acc = None
+            for s in range(n_pairs):
+                pair = one(us[s][:, l]) + one(1.0 - us[s][:, l])
+                acc = pair if acc is None else acc + pair
+            if odd:
+                single = one(us[-1][:, l])
+                acc = single if acc is None else acc + single
+            return acc / n_samples if n_samples > 1 else acc
+
+        outs = []
+        for l in range(n_levels):
+            if l >= n_levels - n_exact:
+                outs.append(_exact_level_rows(table, l, cell, frac, stride,
+                                              use_dense, config))
+            else:
+                outs.append(level_stochastic(l))
+        return jnp.concatenate(outs, axis=-1)
+
+    # Narrow rows (reference 16x2 shape): lanes-layout sampled gathers.
+    # exact_levels is honored by selecting exact columns afterwards —
+    # narrow tables are not the perf path, correctness over speed here.
+    level = jnp.arange(n_levels, dtype=jnp.int32)[:, None]
+    table_ft = table.transpose(0, 2, 1)  # (L, F, T)
+    f_idx = jnp.arange(config.n_features)[None, :, None]
+
+    def draw_lanes(u):
+        upper = (u < frac).astype(jnp.int32)  # (3, L, N)
+        idx = _corner_index(cell, (upper[0], upper[1], upper[2]), stride,
+                            use_dense, config.table_size)  # (L, N)
+        return table_ft[level[:, None, :], f_idx, idx[:, None, :]]
+
     acc = None
     for s in range(n_pairs):
-        u = jax.random.uniform(keys[s], (3, config.n_levels, n))
-        pair = draw(u) + draw(1.0 - u)
+        pair = draw_lanes(us[s]) + draw_lanes(1.0 - us[s])
         acc = pair if acc is None else acc + pair
     if odd:
-        u = jax.random.uniform(keys[-1], (3, config.n_levels, n))
-        single = draw(u)
+        single = draw_lanes(us[-1])
         acc = single if acc is None else acc + single
-    return acc / n_samples if n_samples > 1 else acc
+    if n_samples > 1:
+        acc = acc / n_samples
+    out = acc.reshape(config.out_dim, n).T  # (N, L*F)
+    if n_exact:
+        exact = _encode_lanes(table, x, config)
+        split = (n_levels - n_exact) * config.n_features
+        out = jnp.concatenate([out[:, :split], exact[:, split:]], axis=-1)
+    return out
 
 
 def _encode_lanes(table, x, config):

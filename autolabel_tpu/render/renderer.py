@@ -40,6 +40,10 @@ class RenderOptions:
     # 2 halves the estimator variance for ~1.5x the encode cost of 1.
     # Eval paths (key=None) always interpolate exactly.
     stochastic_corners: int = 2
+    # With stochastic corners on, interpolate this many of the FINEST
+    # grid levels exactly (they carry the detail and most of the
+    # estimator variance); coarser levels stay stochastic.
+    stochastic_exact_levels: int = 0
 
 
 def ray_aabb_intersect(rays_o, rays_d, bound, min_near=MIN_NEAR):
@@ -179,7 +183,9 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
         xyz = jnp.clip(xyz, -bound, bound)
         flat = xyz.reshape(-1, 3)
         sigma, geo = field.density(params, flat, key=enc_key,
-                                   n_samples=n_corner_samples)
+                                   n_samples=n_corner_samples,
+                                   exact_levels=options.
+                                   stochastic_exact_levels)
         if occupancy is not None:
             density_grid, trained_mask, threshold = occupancy
             r = density_grid.shape[0]

@@ -7,6 +7,7 @@ function over pytrees; bf16 compute replaces AMP+GradScaler; EMA is a tree
 lerp. With a device mesh the same step runs data-parallel: params
 replicated, ray batch sharded over 'data', XLA inserts the gradient psum.
 """
+import dataclasses
 import os
 import time
 
@@ -19,6 +20,7 @@ from autolabel_tpu.render.renderer import (RenderOptions, StagedRenderer,
                                            render_rays)
 from autolabel_tpu.train import checkpoints
 from autolabel_tpu.train.losses import LossOptions, compute_losses
+from autolabel_tpu.train.metrics import MetricsLogger
 from autolabel_tpu.train.optim import make_optimizer
 
 _BATCH_KEYS = ('rays_o', 'rays_d', 'direction_norms', 'pixels', 'depth',
@@ -84,6 +86,8 @@ class SimpleTrainer:
                  max_ray_batch=4096,
                  occupancy=None,
                  occupancy_update_every=100,
+                 exact_final_fraction=0.1,
+                 metrics=True,
                  seed=0):
         self.name = name
         self.field = field
@@ -96,6 +100,8 @@ class SimpleTrainer:
         self.occupancy_update_every = occupancy_update_every
         self.epoch = 0
         self.global_step = 0
+        self.metrics_logger = (MetricsLogger(workspace)
+                               if metrics and workspace is not None else None)
 
         params = field.init(jax.random.PRNGKey(seed))
         self.tx = make_optimizer(params, lr=lr, iters=iters)
@@ -109,11 +115,22 @@ class SimpleTrainer:
         }
         self._base_key = jax.random.PRNGKey(seed + 1)
 
+        # Stochastic-corner annealing: cheap unbiased noisy gathers for
+        # most of the schedule, exact trilinear for the final fraction so
+        # the estimator noise does not cap converged quality (measured on
+        # the sphere A/B: stochastic-only plateaus ~1.5 dB below exact at
+        # 4k iters; the exact tail recovers it at ~1/3 the total cost of
+        # exact-throughout).
+        self._stochastic_until = None
+        if (iters is not None and exact_final_fraction > 0
+                and self.render_options.stochastic_corners):
+            self._stochastic_until = int(iters * (1 - exact_final_fraction))
+
+        occupancy_threshold = (occupancy.config.threshold
+                               if occupancy is not None else None)
         step = _make_step(field, self.tx, self.loss_options,
                           self.render_options,
-                          occupancy_threshold=(
-                              occupancy.config.threshold
-                              if occupancy is not None else None))
+                          occupancy_threshold=occupancy_threshold)
         self._batch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -129,6 +146,22 @@ class SimpleTrainer:
                 out_shardings=(replicated, replicated))
         else:
             self._train_step = jax.jit(step, donate_argnums=0)
+        self._train_step_exact = None
+        if self._stochastic_until is not None:
+            exact_step = _make_step(
+                field, self.tx, self.loss_options,
+                dataclasses.replace(self.render_options,
+                                    stochastic_corners=0),
+                occupancy_threshold=occupancy_threshold)
+            if mesh is not None:
+                self._train_step_exact = jax.jit(
+                    exact_step,
+                    donate_argnums=0,
+                    in_shardings=tuple(in_shardings),
+                    out_shardings=(replicated, replicated))
+            else:
+                self._train_step_exact = jax.jit(exact_step,
+                                                 donate_argnums=0)
 
         self._ema_step = jax.jit(_ema_update, static_argnums=1,
                                  donate_argnums=0)
@@ -206,8 +239,12 @@ class SimpleTrainer:
         per step (see SYNC_EVERY note), so periodic snapshots are opt-in.
         """
         for epoch in range(epochs):
-            self.train_iterations(dataloader, iters_per_epoch)
+            losses = self.train_iterations(dataloader, iters_per_epoch)
             self.epoch += 1
+            if self.metrics_logger is not None and losses is not None:
+                # One tiny device->host fetch per epoch, at the epoch
+                # boundary — the inner loop stays fetch-free.
+                self.metrics_logger.log(self.epoch, self.global_step, losses)
             if (checkpoint_interval is not None
                     and (epoch + 1) % checkpoint_interval == 0
                     and epoch + 1 < epochs):
@@ -238,7 +275,11 @@ class SimpleTrainer:
             args = ()
             if self.occupancy is not None:
                 args = self.occupancy.state()
-            self.state, losses = self._train_step(
+            step_fn = self._train_step
+            if (self._train_step_exact is not None
+                    and self.global_step >= self._stochastic_until):
+                step_fn = self._train_step_exact
+            self.state, losses = step_fn(
                 self.state, self._device_batch(data), self._base_key, *args)
             self.global_step += 1
             if (i + 1) % self.SYNC_EVERY == 0:

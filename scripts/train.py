@@ -54,6 +54,20 @@ def read_args():
                         "8-corner trilinear.")
     parser.add_argument('--no-stochastic-corners', action='store_true',
                         help="Alias for --stochastic-corners 0.")
+    parser.add_argument('--stochastic-exact-levels', type=int, default=0,
+                        help="With stochastic corners, interpolate this "
+                        "many of the finest grid levels exactly.")
+    parser.add_argument('--exact-final-fraction', type=float, default=0.1,
+                        help="Train the final fraction of the schedule "
+                        "with exact trilinear gathers (anneals away the "
+                        "stochastic-corner estimator noise).")
+    parser.add_argument('--no-metrics', action='store_true',
+                        help="Skip the per-epoch metrics.jsonl scalars "
+                        "(avoids the one device fetch per epoch, which "
+                        "tunneled-TPU relays punish).")
+    parser.add_argument('--profile', type=str, default=None,
+                        help="Write a jax.profiler trace of the first "
+                        "training epoch to this directory.")
     return parser.parse_args()
 
 
@@ -97,7 +111,8 @@ def main():
         perturb=True,
         proposal_steps=flags.proposal_steps if flags.proposal else 0,
         stochastic_corners=(0 if flags.no_stochastic_corners else
-                            flags.stochastic_corners))
+                            flags.stochastic_corners),
+        stochastic_exact_levels=flags.stochastic_exact_levels)
 
     mesh = None
     if flags.mesh_devices:
@@ -125,14 +140,24 @@ def main():
                             ema_decay=0.95,
                             use_checkpoint='latest',
                             mesh=mesh,
-                            occupancy=occupancy)
+                            occupancy=occupancy,
+                            exact_final_fraction=flags.exact_final_fraction,
+                            metrics=not flags.no_metrics)
     mark('trainer init')
 
     iters_per_epoch = min(1000, flags.iters)
     epochs = int(np.ceil(flags.iters / iters_per_epoch))
     loader = PrefetchIterator(LenDataset(dataset, iters_per_epoch),
                               transform=trainer._device_batch)
-    trainer.train(loader, epochs, iters_per_epoch)
+    if flags.profile:
+        import jax
+        jax.profiler.start_trace(flags.profile)
+        trainer.train(loader, 1, iters_per_epoch)
+        jax.profiler.stop_trace()
+        if epochs > 1:
+            trainer.train(loader, epochs - 1, iters_per_epoch)
+    else:
+        trainer.train(loader, epochs, iters_per_epoch)
     mark('train')
     trainer.save_checkpoint(include_optimizer=flags.save_optimizer)
     mark('save checkpoint')

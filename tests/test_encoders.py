@@ -152,3 +152,32 @@ def test_stochastic_corner_rows_are_table_rows():
     for row in out:
         dists = np.abs(rows - row[None]).max(axis=1)
         assert dists.min() < 1e-7
+
+
+def test_stochastic_exact_levels_unbiased_and_exact_on_fine():
+    """exact_levels keeps the finest levels exactly trilinear while the
+    coarse levels remain unbiased (both layouts)."""
+    for n_features in (8, 2):
+        cfg = HashGridConfig(n_levels=3,
+                             n_features=n_features,
+                             log2_hashmap_size=8,
+                             base_resolution=4,
+                             per_level_scale=2.0)
+        table = hashgrid_init(jax.random.PRNGKey(11), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(12), (8, 3))
+        exact = np.asarray(hashgrid_encode(table, x, cfg))
+        fine = slice((cfg.n_levels - 1) * n_features, None)
+
+        out = np.asarray(hashgrid_encode(table, x, cfg,
+                                         key=jax.random.PRNGKey(13),
+                                         n_samples=2, exact_levels=1))
+        # Finest level matches the exact interpolation bit-for-bit.
+        np.testing.assert_allclose(out[:, fine], exact[:, fine], atol=1e-7)
+
+        acc = np.zeros_like(exact)
+        n_draws = 3000
+        for i in range(n_draws):
+            acc += np.asarray(
+                hashgrid_encode(table, x, cfg, key=jax.random.PRNGKey(i),
+                                n_samples=1, exact_levels=1))
+        np.testing.assert_allclose(acc / n_draws, exact, atol=8e-6)

@@ -1,0 +1,33 @@
+"""Per-epoch metrics.jsonl logging (VERDICT round-1 item 9)."""
+import jax.numpy as jnp
+
+from autolabel_tpu.train.metrics import MetricsLogger, read_metrics
+
+
+def test_metrics_roundtrip(tmp_path):
+    ws = str(tmp_path)
+    logger = MetricsLogger(ws)
+    logger.log(1, 1000, {'total': jnp.float32(0.5), 'rgb': 0.3}, lr=5e-3)
+    logger.log(2, 2000, {'total': jnp.float32(0.4), 'rgb': 0.2})
+    records = read_metrics(ws)
+    assert [r['epoch'] for r in records] == [1, 2]
+    assert records[0]['total'] == 0.5 and records[0]['lr'] == 5e-3
+    assert records[1]['step'] == 2000
+    assert all('wall_s' in r for r in records)
+
+
+def test_trainer_writes_metrics(tmp_path, sphere_scene):
+    """A short CLI-shaped training run produces a loss-curve artifact."""
+    import sys
+    sys.argv = ['train.py', sphere_scene, '--iters', '40',
+                '--batch-size', '512', '--factor-train', '4',
+                '--num-steps', '16', '--workspace', str(tmp_path / 'ws')]
+    sys.path.insert(0, 'scripts')
+    import importlib
+    train = importlib.import_module('train')
+    train.main()
+    import glob
+    model_dir = glob.glob(str(tmp_path / 'ws' / '*' / '*'))[0]
+    records = read_metrics(model_dir)
+    assert len(records) == 1  # 40 iters = one (short) epoch
+    assert records[0]['total'] > 0 and records[0]['step'] == 40
