@@ -1,10 +1,14 @@
 """DINO ViT-S/8 feature teacher.
 
 Parity: autolabel/features/dino.py:9-27 (torch hub dino_vits8, last-layer
-patch tokens -> H/8 x W/8 x 384). Pretrained weights need network access;
-without them a deterministic fallback with the same output contract is
-used (see fallback.py).
+patch tokens -> H/8 x W/8 x 384). Resolution order:
+  1. torch hub (needs network the first time);
+  2. AUTOLABEL_DINO_WEIGHTS=<path to the official dino_deitsmall8
+     checkpoint .pth> — runs the TPU-native JAX ViT (features/vit_jax.py,
+     numerically validated against transformers' ViT);
+  3. deterministic fallback (only with allow_fallback).
 """
+import os
 import warnings
 
 import numpy as np
@@ -20,6 +24,7 @@ class Dino:
 
     def __init__(self, allow_fallback=False):
         self._model = None
+        self._jax_params = None
         try:
             import torch
             self._model = torch.hub.load('facebookresearch/dino:main',
@@ -27,6 +32,17 @@ class Dino:
             self._model.eval()
             self._torch = torch
         except Exception as e:  # offline / no weights
+            weights = os.environ.get('AUTOLABEL_DINO_WEIGHTS')
+            if weights and os.path.exists(weights):
+                import torch
+
+                from autolabel_tpu.features import vit_jax
+                state = torch.load(weights, map_location='cpu')
+                state = state.get('student', state.get('model', state))
+                state = {k.replace('module.', '').replace('backbone.', ''):
+                         v for k, v in state.items()}
+                self._jax_params = vit_jax.load_timm_state_dict(state)
+                return
             if not allow_fallback:
                 raise RuntimeError(
                     "DINO ViT-S/8 weights are unavailable (torch hub "
@@ -44,6 +60,13 @@ class Dino:
 
     def __call__(self, x):
         """x: (B, 3, H, W) float in [0, 1] -> (B, H/8, W/8, 384)."""
+        if self._jax_params is not None:
+            from autolabel_tpu.features import vit_jax
+            x = np.asarray(x, np.float32)
+            x = (x - _IMAGENET_MEAN[None, :, None, None]) \
+                / _IMAGENET_STD[None, :, None, None]
+            return np.asarray(
+                vit_jax.encode_image(self._jax_params, x)).astype(np.float16)
         if self._model is None:
             return self._fallback(x)
         torch = self._torch
