@@ -59,6 +59,13 @@ class TrainingLoop:
             use_checkpoint='latest')
         self.done = False
         self.connection = connection
+        # Baked fast preview (--baked-preview): serve get_image from a
+        # splat cache re-baked every `rebake_every` steps instead of a
+        # full volumetric render per request (render/baked.py).
+        self.baked_preview = getattr(flags, 'baked_preview', False)
+        self.rebake_every = getattr(flags, 'rebake_every', 2000)
+        self._baked_renderer = None
+        self._baked_at_step = None
 
     def _load_pca(self):
         feature_path = os.path.join(self.scene_path, 'features.hdf')
@@ -91,7 +98,35 @@ class TrainingLoop:
         if get_image_message is not None:
             self._get_image(get_image_message)
 
+    def _get_baked_image(self, image_index):
+        import numpy as np
+
+        from autolabel_tpu.render.baked import BakedRenderer, bake
+
+        step = self.trainer.global_step
+        if (self._baked_renderer is None
+                or step - self._baked_at_step >= self.rebake_every):
+            baked = bake(self.field, self.trainer.eval_params(),
+                         resolution=128, max_points=2 ** 17)
+            self._baked_renderer = BakedRenderer(baked)
+            self._baked_at_step = step
+
+        T_CW = np.linalg.inv(self.train_dataset.poses[image_index])
+        camera = self.train_dataset.camera
+        out = self._baked_renderer.render(camera.camera_matrix, T_CW,
+                                          camera.size)
+        self.log(f"Sending {image_index} (baked)")
+        self.connection.send(('image', {
+            'image_index': image_index,
+            'rgb': np.asarray(out['image']),
+            'depth': np.asarray(out['depth']),
+            'semantic': np.asarray(out['semantic']),
+            'features': None,
+        }))
+
     def _get_image(self, image_index):
+        if self.baked_preview:
+            return self._get_baked_image(image_index)
         data = self.train_dataset._get_test(image_index)
         p_rgb, p_depth, p_semantic, p_features = self.trainer.test_step(data)
         semantic = p_semantic.argmax(axis=-1)

@@ -1,0 +1,204 @@
+"""Baked fast preview: render rgb/depth/semantics without field queries.
+
+The interactive GUI asks for preview frames every few seconds; a full
+volumetric render at 720p costs seconds (per-sample hash-grid gathers).
+This module trades that for a two-phase design shaped for TPU:
+
+  bake():   evaluate the trained field once on a dense voxel grid
+            (chunked; seconds), keep the surface cells (alpha above
+            threshold), and store them as a fixed-size splat cloud with
+            per-point rgb + class id + cell size.
+  render(): project the splats with one (N, 3) x (3, 3) matmul, resolve
+            visibility with a scatter-min z-buffer, and fill holes with
+            a few dense 3x3 min-pool passes — no gathers proportional
+            to rays x samples, so a 720p frame costs milliseconds.
+
+This is the TPU-native answer to the reference's preview latency (the
+GUI re-renders every 5 s at factor-4 resolution, scripts/gui.py:20,
+175-182) and the concrete step toward the 30 fps 720p north star
+(BASELINE.json): benchmarks/preview_fps.py measures it on hardware.
+"""
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1e9
+
+
+@dataclasses.dataclass
+class BakedScene:
+    """Fixed-size splat cloud: positions (K, 3), rgb (K, 3), class ids
+    (K,), per-splat radius (world units), validity mask (K,)."""
+    points: jnp.ndarray
+    rgb: jnp.ndarray
+    semantic: jnp.ndarray
+    valid: jnp.ndarray
+    cell_size: float
+
+    @property
+    def n_valid(self):
+        return int(np.asarray(self.valid.sum()))
+
+
+def bake(field, params, resolution=192, max_points=2 ** 19,
+         alpha_threshold=None, chunk=65536):
+    """Evaluate the field on a resolution^3 grid and keep surface cells.
+
+    Color is view-dependent; splats store the color under a canonical
+    downward view — a preview-grade approximation. Returns a BakedScene
+    with exactly max_points rows (top-alpha cells, zero-padded), so
+    downstream rendering jits once.
+    """
+    bound = field.config.bound
+    r = resolution
+    cell = 2.0 * bound / r
+    centers_1d = np.linspace(-bound + cell / 2, bound - cell / 2, r,
+                             dtype=np.float32)
+    grid = np.stack(np.meshgrid(centers_1d, centers_1d, centers_1d,
+                                indexing='ij'), axis=-1).reshape(-1, 3)
+
+    density_fn = jax.jit(lambda p, x: field.density(p, x)[0])
+    sigmas = np.empty(grid.shape[0], np.float32)
+    for start in range(0, grid.shape[0], chunk):
+        sl = slice(start, start + chunk)
+        sigmas[sl] = np.asarray(density_fn(params, jnp.asarray(grid[sl])))
+
+    alpha = 1.0 - np.exp(-sigmas * cell)
+    if alpha_threshold is None:
+        # Adaptive: half the near-max opacity, floored — well-trained
+        # fields have near-1 surface alphas; weakly-trained ones (tests,
+        # early previews) still yield their densest shell.
+        alpha_threshold = max(0.5 * np.percentile(alpha, 99.9), 0.01)
+    candidates = np.flatnonzero(alpha > alpha_threshold)
+    if candidates.size > max_points:
+        order = np.argsort(alpha[candidates])[::-1]
+        candidates = candidates[order[:max_points]]
+    n = candidates.size
+
+    points = grid[candidates]
+
+    def shade_fn(p, x):
+        _, geo = field.density(p, x)
+        # Canonical downward view direction — a preview-grade
+        # approximation of the mild view dependence of indoor scans.
+        view = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape)
+        rgb = field.color(p, view, geo)
+        logits, _ = field.semantic(p, geo)
+        return rgb, jnp.argmax(logits, axis=-1)
+
+    shade = jax.jit(shade_fn)
+    rgb = np.zeros((max_points, 3), np.float32)
+    semantic = np.zeros(max_points, np.int32)
+    out_points = np.zeros((max_points, 3), np.float32)
+    out_points[:n] = points
+    for start in range(0, n, chunk):
+        sl = slice(start, min(start + chunk, n))
+        c, s = shade(params, jnp.asarray(points[sl]))
+        rgb[sl] = np.asarray(c)
+        semantic[sl] = np.asarray(s)
+
+    valid = np.zeros(max_points, bool)
+    valid[:n] = True
+    return BakedScene(points=jnp.asarray(out_points),
+                      rgb=jnp.asarray(rgb),
+                      semantic=jnp.asarray(semantic),
+                      valid=jnp.asarray(valid),
+                      cell_size=cell)
+
+
+@functools.partial(jax.jit, static_argnames=('height', 'width',
+                                             'fill_passes'))
+def _splat_render(points, rgb, semantic, valid, intrinsics, T_CW, height,
+                  width, fill_passes=2):
+    """Project splats, z-buffer them, hole-fill. All dense/scatter ops."""
+    rot = T_CW[:3, :3]
+    t = T_CW[:3, 3]
+    cam = points @ rot.T + t  # (K, 3), OpenCV convention (+z forward)
+    z = cam[:, 2]
+    in_front = (z > 0.05) & valid
+
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    u = fx * cam[:, 0] / z + cx
+    v = fy * cam[:, 1] / z + cy
+    px = jnp.round(u).astype(jnp.int32)
+    py = jnp.round(v).astype(jnp.int32)
+    in_image = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    ok = in_front & in_image
+
+    n_pixels = height * width
+    pid = jnp.where(ok, py * width + px, n_pixels)  # dump slot at the end
+
+    zbuf = jnp.full(n_pixels + 1, _BIG).at[pid].min(jnp.where(ok, z, _BIG))
+    # Winners: points that own their pixel's nearest depth (ties both
+    # write; acceptable for preview).
+    win = ok & (z <= zbuf[pid] * (1.0 + 1e-4))
+    winf = win.astype(jnp.float32)[:, None]
+
+    img = jnp.zeros((n_pixels + 1, 3)).at[pid].add(rgb * winf)
+    cnt = jnp.zeros(n_pixels + 1).at[pid].add(winf[:, 0])
+    sem = jnp.zeros(n_pixels + 1, jnp.int32).at[pid].max(
+        jnp.where(win, semantic + 1, 0))
+
+    image = (img[:n_pixels] / jnp.maximum(cnt[:n_pixels, None], 1.0)
+             ).reshape(height, width, 3)
+    depth = zbuf[:n_pixels].reshape(height, width)
+    classes = sem[:n_pixels].reshape(height, width)  # 0 = hole
+    hit = cnt[:n_pixels].reshape(height, width) > 0
+
+    # Dense hole filling: nearest-by-depth 3x3 neighborhood, few passes.
+    def fill(state, _):
+        image, depth, classes, hit = state
+        best_d = depth
+        best_i = image
+        best_c = classes
+        best_h = hit
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nd = jnp.roll(depth, (dy, dx), axis=(0, 1))
+                ni = jnp.roll(image, (dy, dx), axis=(0, 1))
+                nc = jnp.roll(classes, (dy, dx), axis=(0, 1))
+                nh = jnp.roll(hit, (dy, dx), axis=(0, 1))
+                take = (~best_h) & nh
+                best_d = jnp.where(take, nd, best_d)
+                best_i = jnp.where(take[..., None], ni, best_i)
+                best_c = jnp.where(take, nc, best_c)
+                best_h = best_h | nh
+        return (best_i, best_d, best_c, best_h), None
+
+    (image, depth, classes, hit), _ = jax.lax.scan(
+        fill, (image, depth, classes, hit), None, length=fill_passes)
+
+    image = jnp.where(hit[..., None], image, 1.0)  # bg_color parity
+    depth = jnp.where(hit, depth, 0.0)
+    classes = jnp.where(hit, jnp.maximum(classes - 1, 0), 0)
+    return image, depth, classes
+
+
+class BakedRenderer:
+    """Renders preview frames from a BakedScene at any resolution."""
+
+    def __init__(self, baked: BakedScene, fill_passes=2):
+        self.baked = baked
+        self.fill_passes = fill_passes
+
+    def render(self, intrinsics, T_CW, size):
+        """intrinsics: (3, 3) camera matrix at `size`; T_CW: (4, 4)
+        world->camera IN THE FIELD'S (ngp-converted) WORLD SPACE — i.e.
+        np.linalg.inv(core.rays.convert_pose(T_CW_scene_file)); pixel
+        rays there follow the OpenCV (+z forward) formula the ray
+        generator uses (core/rays.py compute_directions). size:
+        (width, height). Returns dict with image (H, W, 3), depth (H, W)
+        z-depth, semantic (H, W) class ids."""
+        width, height = int(size[0]), int(size[1])
+        image, depth, classes = _splat_render(
+            self.baked.points, self.baked.rgb, self.baked.semantic,
+            self.baked.valid, jnp.asarray(intrinsics, jnp.float32),
+            jnp.asarray(T_CW, jnp.float32), height, width,
+            self.fill_passes)
+        return {'image': image, 'depth': depth, 'semantic': classes}

@@ -45,6 +45,12 @@ def read_args():
     parser.add_argument('--batch-size', type=int, default=4096)
     parser.add_argument('--dry', action='store_true',
                         help="Run the UI without the NeRF backend.")
+    parser.add_argument('--baked-preview', action='store_true',
+                        help="Serve preview renders from a periodically "
+                        "re-baked splat cache (millisecond frames) "
+                        "instead of full volumetric renders.")
+    parser.add_argument('--rebake-every', type=int, default=2000,
+                        help="Training steps between preview re-bakes.")
     return parser.parse_args()
 
 

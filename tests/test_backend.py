@@ -101,3 +101,46 @@ def test_message_buffer_matching():
     assert match is not None
     assert abs(match.header.stamp.to_sec() - 0.2) < 1e-9
     assert buf.closest(Stamp(5.0)) is None
+
+
+def test_backend_baked_preview(sphere_scene, tmp_path):
+    """--baked-preview serves get_image from the splat cache with the
+    same payload contract, and re-bakes on the configured cadence."""
+    import shutil
+    scene = str(tmp_path / 'scene')
+    shutil.copytree(sphere_scene, scene)
+
+    class _BakedFlags(_Flags):
+        baked_preview = True
+        rebake_every = 5
+
+    parent, child = multiprocessing.Pipe()
+    loop = TrainingLoop(scene, _BakedFlags(), child, dataset_factor=1.0)
+    loop.trainer.init(loop.train_dataset)
+    for _ in range(3):
+        loop.trainer.take_step()
+
+    parent.send(('get_image', 0))
+    loop._check_messages()
+    assert parent.poll(5)
+    message_type, payload = parent.recv()
+    assert message_type == 'image'
+    assert payload['rgb'].shape == (36, 48, 3)
+    assert payload['depth'].shape == (36, 48)
+    assert payload['semantic'].shape == (36, 48)
+    first_bake_step = loop._baked_at_step
+    assert first_bake_step is not None
+
+    # Under the rebake cadence: cache reused.
+    parent.send(('get_image', 1))
+    loop._check_messages()
+    assert parent.recv()[1]['image_index'] == 1
+    assert loop._baked_at_step == first_bake_step
+
+    # Past the cadence: re-baked.
+    for _ in range(6):
+        loop.trainer.take_step()
+    parent.send(('get_image', 0))
+    loop._check_messages()
+    parent.recv()
+    assert loop._baked_at_step > first_bake_step

@@ -1,0 +1,101 @@
+"""Baked splat preview: bake a trained field, render a frame gather-free,
+check it against the ground truth and the volumetric render."""
+import numpy as np
+import pytest
+
+from autolabel_tpu import model_utils
+from autolabel_tpu.core.dataset import SceneDataset
+from autolabel_tpu.models.field import Field, FieldConfig
+from autolabel_tpu.ops.encoders import HashGridConfig
+from autolabel_tpu.render.baked import BakedRenderer, bake
+from autolabel_tpu.render.renderer import RenderOptions
+from autolabel_tpu.train.losses import LossOptions
+from autolabel_tpu.train.trainer import SimpleTrainer
+
+
+@pytest.fixture(scope='module')
+def trained(sphere_scene):
+    dataset = SceneDataset('train', sphere_scene, factor=1.0,
+                           batch_size=512)
+    bound = model_utils.compute_bound(dataset.min_bounds,
+                                      dataset.max_bounds)
+    field = Field(
+        FieldConfig(encoding='hg+freq', hidden_dim=32, hidden_dim_color=32,
+                    hidden_dim_semantic=16,
+                    semantic_classes=dataset.n_classes, bound=bound,
+                    grid=HashGridConfig(n_levels=6, log2_hashmap_size=14,
+                                        per_level_scale=1.6)))
+    trainer = SimpleTrainer('ngp', field, iters=1000,
+                            loss_options=LossOptions(),
+                            render_options=RenderOptions(num_steps=32,
+                                                         perturb=True),
+                            workspace=None)
+    trainer.train_iterations(dataset, 300)
+    return field, trainer.state['params'], dataset
+
+
+def test_bake_and_render(trained):
+    field, params, dataset = trained
+    baked = bake(field, params, resolution=96, max_points=2 ** 15)
+    assert 0 < baked.n_valid <= 2 ** 15
+
+    renderer = BakedRenderer(baked)
+    scene = dataset.scene
+    # Field-space pose: inverse of the converted camera-to-world.
+    import os
+    from autolabel_tpu.core.rays import convert_pose
+    T_CW_file = np.loadtxt(os.path.join(scene.path, 'pose', '0.txt'))
+    T_CW = np.linalg.inv(convert_pose(T_CW_file))
+    K = scene.camera.camera_matrix
+    w, h = scene.camera.size
+    out = renderer.render(K, T_CW, (w, h))
+    image = np.asarray(out['image'])
+    depth = np.asarray(out['depth'])
+    semantic = np.asarray(out['semantic'])
+    assert image.shape == (h, w, 3) and depth.shape == (h, w)
+
+    batch = dataset._get_test(0)
+    gt_rgb = np.asarray(batch['pixels']).reshape(h, w, 3)
+    gt_depth = np.asarray(batch['depth']).reshape(h, w)
+    gt_sem = np.asarray(batch['semantic']).reshape(h, w)
+
+    hit = depth > 0
+    assert hit.mean() > 0.05  # the sphere projects into view
+    both = hit & (gt_depth > 0)
+    assert both.sum() > 50
+    # Against gt: coarse agreement (the 300-iter fixture field itself
+    # is only roughly converged).
+    assert np.median(np.abs(depth[both] - gt_depth[both])) < 0.3
+    # Against the field's own volumetric render (what the bake
+    # approximates): tighter agreement.
+    from autolabel_tpu.inference import InferenceModel
+    vol = InferenceModel(field, params, num_steps=48).render(batch)
+    vol_depth = np.asarray(vol['depth']).reshape(h, w)
+    vol_both = hit & (vol_depth > 0.1)
+    assert vol_both.sum() > 50
+    assert np.median(np.abs(depth[vol_both] - vol_depth[vol_both])) < 0.2
+    # Sphere pixels classify as sphere (class 1) more often than not.
+    sphere_hits = both & (gt_sem == 1)
+    if sphere_hits.sum() > 20:
+        assert (semantic[sphere_hits] == 1).mean() > 0.6
+    # RGB over hits is in range and roughly red-dominant on the sphere.
+    assert image.min() >= 0.0 and image.max() <= 1.0
+    if sphere_hits.sum() > 20:
+        assert image[sphere_hits, 0].mean() > image[sphere_hits, 2].mean()
+
+
+def test_baked_render_is_static_shape(trained):
+    """Two different camera poses reuse the same compiled render."""
+    field, params, dataset = trained
+    baked = bake(field, params, resolution=64, max_points=2 ** 13)
+    renderer = BakedRenderer(baked)
+    import os
+    from autolabel_tpu.core.rays import convert_pose
+    K = dataset.scene.camera.camera_matrix
+    w, h = dataset.scene.camera.size
+    for idx in (0, 3):
+        T_CW_file = np.loadtxt(os.path.join(dataset.scene.path, 'pose',
+                                            f'{idx}.txt'))
+        out = renderer.render(K, np.linalg.inv(convert_pose(T_CW_file)),
+                              (w, h))
+        assert np.asarray(out['image']).shape == (h, w, 3)
