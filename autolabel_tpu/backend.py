@@ -48,6 +48,15 @@ class TrainingLoop:
                 proposal_steps=getattr(flags, 'proposal_steps', 64))
         else:
             render_options = RenderOptions(num_steps=128, perturb=True)
+        occupancy = None
+        if getattr(flags, 'occupancy_grid', False):
+            from autolabel_tpu.render.occupancy import (OccupancyGrid,
+                                                        OccupancyGridConfig)
+            occupancy = OccupancyGrid(OccupancyGridConfig(),
+                                      self.field.config.bound)
+            occupancy.mark_untrained_grid(self.train_dataset.poses,
+                                          self.train_dataset.intrinsics,
+                                          self.train_dataset.camera.size)
         self.trainer = InteractiveTrainer(
             'ngp',
             self.field,
@@ -56,7 +65,8 @@ class TrainingLoop:
             render_options=render_options,
             workspace=self.workspace,
             ema_decay=0.95,
-            use_checkpoint='latest')
+            use_checkpoint='latest',
+            occupancy=occupancy)
         self.done = False
         self.connection = connection
         # Baked fast preview (--baked-preview): serve get_image from a

@@ -51,6 +51,9 @@ def read_args():
                         "instead of full volumetric renders.")
     parser.add_argument('--rebake-every', type=int, default=2000,
                         help="Training steps between preview re-bakes.")
+    parser.add_argument('--occupancy-grid', action='store_true',
+                        help="Maintain an occupancy grid masking density "
+                        "in empty/unobserved cells during training.")
     return parser.parse_args()
 
 

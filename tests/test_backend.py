@@ -144,3 +144,22 @@ def test_backend_baked_preview(sphere_scene, tmp_path):
     loop._check_messages()
     parent.recv()
     assert loop._baked_at_step > first_bake_step
+
+
+def test_backend_occupancy_grid(sphere_scene, tmp_path):
+    """--occupancy-grid wires an occupancy grid into the interactive
+    trainer; steps keep running and update it on cadence."""
+    import shutil
+    scene = str(tmp_path / 'scene')
+    shutil.copytree(sphere_scene, scene)
+
+    class _OccFlags(_Flags):
+        occupancy_grid = True
+
+    parent, child = multiprocessing.Pipe()
+    loop = TrainingLoop(scene, _OccFlags(), child, dataset_factor=1.0)
+    assert loop.trainer.occupancy is not None
+    loop.trainer.init(loop.train_dataset)
+    for _ in range(3):
+        losses = loop.trainer.take_step()
+    assert np.isfinite(float(losses['total']))
