@@ -1,6 +1,12 @@
-"""Pallas hash-grid kernel vs the XLA reference implementation
-(interpret mode on CPU; the compiled path is exercised on real TPU by
-bench.py)."""
+"""Pallas hash-grid kernel vs the XLA reference implementation.
+
+These tests run the kernel in INTERPRET mode only: the compiled path
+does not lower on the current Mosaic toolchain (its gather lowering
+requires indices shaped like the operand, which for a hash-table lookup
+forces a T-row tile whose index broadcast overflows VMEM — measured
+round 2, see NOTES.md). Nothing exercises a compiled Pallas gather on
+hardware; the production encode path is the XLA gather in
+ops/encoders.py, which saturates the v5e gather engine."""
 import jax
 import jax.numpy as jnp
 import numpy as np
