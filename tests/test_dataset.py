@@ -75,3 +75,39 @@ def test_len_dataset(sphere_scene):
     dataset = SceneDataset('train', sphere_scene, factor=2.0, batch_size=512)
     limited = LenDataset(dataset, 3)
     assert len(list(iter(limited))) == 3
+
+
+def test_dynamic_dataset_online_flow(sphere_scene):
+    """DynamicDataset: add frames, draw batches, evict at capacity —
+    the ROS node's online-mapping data path (reference
+    dataset.py:457-543)."""
+    import os
+    import cv2
+    import numpy as np
+    from autolabel_tpu.core.dataset import DynamicDataset
+    from autolabel_tpu.utils import Scene
+
+    scene = Scene(sphere_scene)
+    dataset = DynamicDataset(256, scene.camera, capacity=4)
+    try:
+        rng = np.random.default_rng(0)
+        for i in range(6):
+            rgb = cv2.cvtColor(cv2.imread(scene.rgb_paths()[i]),
+                               cv2.COLOR_BGR2RGB)
+            depth = cv2.imread(
+                os.path.join(sphere_scene, 'depth', f'{i}.png'),
+                -1).astype(np.uint16)
+            features = rng.random((rgb.shape[0] // 2, rgb.shape[1] // 2, 8),
+                                  dtype=np.float32)
+            T_CW = np.loadtxt(os.path.join(sphere_scene, 'pose', f'{i}.txt'))
+            dataset.add_frame(T_CW, rgb, depth, features)
+        assert len(dataset) == 4  # evicted down to capacity
+
+        batch = next(iter(dataset))
+        assert batch['rays_o'].shape == (256, 3)
+        assert batch['rays_d'].shape == (256, 3)
+        assert batch['pixels'].shape == (256, 3)
+        assert batch['features'].shape[0] == 256
+        assert np.isfinite(batch['depth']).all()
+    finally:
+        dataset.stop()
