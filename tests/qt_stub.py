@@ -47,7 +47,17 @@ class _Stub(metaclass=_StubMeta):
 
 def _module(name):
     mod = types.ModuleType(name)
-    mod.__getattr__ = lambda attr: _Stub
+    # A real __file__ string and AttributeError on dunders keep
+    # inspect.getmodule (which walks ALL of sys.modules, e.g. during
+    # transformers imports in later tests) from choking on the stub.
+    mod.__file__ = __file__
+
+    def _getattr(attr):
+        if attr.startswith('__'):
+            raise AttributeError(attr)
+        return _Stub
+
+    mod.__getattr__ = _getattr
     return mod
 
 
