@@ -1,9 +1,13 @@
 """FCN-ResNet50 feature teacher.
 
 Parity: autolabel/features/fcn50.py:9-29 (torchvision fcn_resnet50, the
-'classifier.2' node -> 512-channel maps at stride 8). Falls back to a
-deterministic extractor offline.
+'classifier.2' node -> 512-channel maps at stride 8). Resolution order:
+  1. torchvision pretrained weights (needs network the first time);
+  2. AUTOLABEL_FCN50_WEIGHTS=<path to a fcn_resnet50_coco .pth state
+     dict> — same architecture, locally provided weights;
+  3. deterministic fallback (only with allow_fallback).
 """
+import os
 import warnings
 
 import numpy as np
@@ -23,7 +27,16 @@ class FCN50:
             import torch
             from torchvision.models import feature_extraction
             from torchvision.models.segmentation import fcn_resnet50
-            model = fcn_resnet50(weights='DEFAULT')
+            weights = os.environ.get('AUTOLABEL_FCN50_WEIGHTS')
+            if weights and os.path.exists(weights):
+                # weights_backbone defaults to pretrained (a download);
+                # the local state dict covers the backbone too.
+                model = fcn_resnet50(weights=None, weights_backbone=None)
+                state = torch.load(weights, map_location='cpu')
+                state = state.get('state_dict', state.get('model', state))
+                model.load_state_dict(state, strict=False)
+            else:
+                model = fcn_resnet50(weights='DEFAULT')
             model.eval()
             self._extractor = feature_extraction.create_feature_extractor(
                 model, return_nodes={'classifier.2': 'features'})

@@ -2,9 +2,15 @@
 
 Parity: autolabel/features/lseg.py:9-66 (lang-seg ViT-L/16 backbone,
 half-resolution 512-d pixel features aligned with CLIP text embeddings;
-encode_text -> unit-norm N x 512). The lang-seg package and CLIP weights
-require a checkpoint + network; offline, deterministic fallbacks keep the
-open-vocab pipeline runnable end to end.
+encode_text -> unit-norm N x 512). Text-encoder resolution order:
+  1. the lang-seg module's CLIP (needs the lang-seg package + network);
+  2. AUTOLABEL_CLIP_WEIGHTS=<OpenAI CLIP .pt/state dict> +
+     AUTOLABEL_CLIP_BPE=<bpe_simple_vocab_16e6.txt.gz> — the TPU-native
+     JAX CLIP text transformer (features/clip_text_jax.py, numerically
+     validated against transformers);
+  3. deterministic hash text encoder (only with allow_fallback).
+Pixel features fall back to the deterministic extractor whenever
+lang-seg itself is absent.
 """
 import warnings
 
@@ -18,6 +24,7 @@ class LSegFE:
     def __init__(self, checkpoint=None, allow_fallback=False):
         self._evaluator = None
         self._text_encoder = None
+        self._jax_clip = None
         try:
             import clip  # noqa: F401
             import torch
@@ -47,15 +54,28 @@ class LSegFE:
             self._torch = torch
             self._text_encoder = module.net.clip_pretrained
         except Exception as e:
-            if not allow_fallback:
+            from autolabel_tpu.features import clip_text_jax
+            self._jax_clip = clip_text_jax.from_env()
+            if self._jax_clip is None and not allow_fallback:
                 raise RuntimeError(
                     "LSeg (lang-seg + CLIP) is unavailable "
-                    f"({e!r}). Pass --allow-fallback to use deterministic "
-                    "stand-in features + hash text encoder (testing only "
-                    "— NOT real vision-language features).") from e
-            warnings.warn(
-                f"LSeg unavailable ({e!r}); using deterministic fallback "
-                "features + hash text encoder.")
+                    f"({e!r}). Set AUTOLABEL_CLIP_WEIGHTS + "
+                    "AUTOLABEL_CLIP_BPE for the real (JAX) CLIP text "
+                    "encoder, or pass --allow-fallback to use "
+                    "deterministic stand-in features + hash text encoder "
+                    "(testing only — NOT real vision-language features)."
+                ) from e
+            if self._jax_clip is not None:
+                warnings.warn(
+                    f"lang-seg unavailable ({e!r}); using the JAX CLIP "
+                    "text encoder (real weights) with deterministic "
+                    "fallback PIXEL features — text queries are real, "
+                    "feature maps are stand-ins unless lang-seg is "
+                    "installed.")
+            else:
+                warnings.warn(
+                    f"LSeg unavailable ({e!r}); using deterministic "
+                    "fallback features + hash text encoder.")
             self._fallback = RandomFeatureExtractor(self.out_dim, stride=2,
                                                     seed=1512)
             self._hash_text = HashTextEncoder(self.out_dim)
@@ -66,6 +86,8 @@ class LSegFE:
     def encode_text(self, prompts):
         """list of N strings -> unit-norm (N, 512) embeddings."""
         if self._text_encoder is None:
+            if self._jax_clip is not None:
+                return self._jax_clip.encode_text(prompts)
             return self._hash_text.encode_text(prompts)
         torch = self._torch
         with torch.inference_mode():

@@ -1,0 +1,119 @@
+"""Quality A/B of hash-grid layouts on a real scene directory.
+
+Trains the flagship configuration (proposal sampling, stochastic-corner
+gathers with exact annealing tail) for --iters on --scene with the given
+grid layout, then evaluates PSNR / depth error / semantic accuracy on
+the test split with exact gathers. One JSON line per run.
+
+Usage:
+  python benchmarks/grid_quality_ab.py .scenes/room --grid L4_F128_T15 \
+      --iters 3000 [--corners 2] [--batch 4096]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GRIDS = {
+    'L4_F128_T15': (4, 128, 15, 16, 5.04),      # current TPU_GRID
+    'L3_F128_T15': (3, 128, 15, 16, 11.31),
+    'L3_F128_T16': (3, 128, 16, 16, 11.31),
+    'L2_F128_T16': (2, 128, 16, 16, 128.0),
+    'L2_F256_T15': (2, 256, 15, 16, 128.0),
+    'L1_F512_T15': (1, 512, 15, 2048, 1.0),
+    'REF_L16_F2_T19': (16, 2, 19, 16, 2.0),     # reference tcnn shape
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('scene')
+    parser.add_argument('--grid', default='L4_F128_T15', choices=GRIDS)
+    parser.add_argument('--iters', type=int, default=3000)
+    parser.add_argument('--batch', type=int, default=4096)
+    parser.add_argument('--corners', type=int, default=2)
+    parser.add_argument('--num-steps', type=int, default=32)
+    parser.add_argument('--proposal-steps', type=int, default=64)
+    parser.add_argument('--factor', type=float, default=1.0)
+    flags = parser.parse_args()
+
+    from autolabel_tpu import model_utils
+    from autolabel_tpu.core.dataset import LenDataset, SceneDataset
+    from autolabel_tpu.models.field import Field, FieldConfig
+    from autolabel_tpu.ops.encoders import HashGridConfig
+    from autolabel_tpu.render.renderer import RenderOptions
+    from autolabel_tpu.train.loader import PrefetchIterator
+    from autolabel_tpu.train.losses import LossOptions
+    from autolabel_tpu.train.trainer import SimpleTrainer
+
+    dataset = SceneDataset('train', flags.scene, factor=flags.factor,
+                           batch_size=flags.batch)
+    bound = model_utils.compute_bound(dataset.min_bounds,
+                                      dataset.max_bounds)
+    n_classes = dataset.n_classes or 2
+    grid = HashGridConfig(*GRIDS[flags.grid])
+    field = Field(
+        FieldConfig(encoding='hg+freq', hidden_dim=128,
+                    hidden_dim_color=128, hidden_dim_semantic=64,
+                    semantic_classes=n_classes, bound=bound, grid=grid,
+                    proposal=True))
+    trainer = SimpleTrainer(
+        'ngp', field, lr=5e-3, iters=flags.iters,
+        loss_options=LossOptions(),
+        render_options=RenderOptions(num_steps=flags.num_steps,
+                                     proposal_steps=flags.proposal_steps,
+                                     perturb=True,
+                                     stochastic_corners=flags.corners),
+        workspace=None, ema_decay=0.95, exact_final_fraction=0.1,
+        metrics=False)
+
+    iters_per_epoch = min(1000, flags.iters)
+    epochs = int(np.ceil(flags.iters / iters_per_epoch))
+    loader = PrefetchIterator(LenDataset(dataset, iters_per_epoch),
+                              transform=trainer._device_batch)
+    start = time.perf_counter()
+    trainer.train(loader, epochs, iters_per_epoch)
+    # Fetch-fence the queued steps before reading the clock.
+    _ = np.asarray(trainer.state['params']['sigma_net'][0][0]).ravel()[0]
+    wall = time.perf_counter() - start
+
+    testset = SceneDataset('test', flags.scene, factor=flags.factor,
+                           batch_size=flags.batch * 2)
+    mses, depth_errs, sem_accs = [], [], []
+    for i in range(len(testset.poses)):
+        batch = testset._get_test(i)
+        out, mse = trainer.eval_step(batch)
+        mses.append(float(mse))
+        gt_depth = np.asarray(batch['depth']).reshape(-1)
+        depth = np.asarray(out['depth']).reshape(-1)
+        mask = gt_depth > 0
+        if mask.any():
+            depth_errs.append(float(np.abs(depth[mask] -
+                                           gt_depth[mask]).mean()))
+        gt_sem = np.asarray(batch['semantic']).reshape(-1)
+        sem = np.argmax(np.asarray(out['semantic']).reshape(
+            -1, n_classes), axis=-1)
+        labeled = gt_sem >= 0
+        if labeled.any():
+            sem_accs.append(float((sem[labeled] == gt_sem[labeled]).mean()))
+
+    mse = float(np.mean(mses))
+    print(json.dumps({
+        'scene': os.path.basename(os.path.normpath(flags.scene)),
+        'grid': flags.grid,
+        'corners': flags.corners,
+        'iters': flags.iters,
+        'psnr_db': round(-10 * np.log10(mse), 2),
+        'depth_mae': round(float(np.mean(depth_errs)), 4),
+        'sem_acc': round(float(np.mean(sem_accs)), 4) if sem_accs else None,
+        'train_wall_s': round(wall, 1),
+    }), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -101,3 +101,27 @@ def test_feature_distillation_training(sphere_scene, features_hdf):
     assert 'feature' in losses
     assert np.isfinite(losses['feature'])
     assert losses['feature'] > 0
+
+
+def test_fcn50_local_checkpoint_runs_real_model(tmp_path, monkeypatch):
+    """AUTOLABEL_FCN50_WEIGHTS runs the real torchvision FCN offline.
+
+    Uses a random-init state dict saved locally — exercises the exact
+    code path a user with the real fcn_resnet50_coco checkpoint gets
+    (reference loads pretrained at features/fcn50.py:12-14)."""
+    torch = pytest.importorskip('torch')
+    torchvision = pytest.importorskip('torchvision')
+    from torchvision.models.segmentation import fcn_resnet50
+
+    ckpt = tmp_path / 'fcn50.pth'
+    model = fcn_resnet50(weights=None, weights_backbone=None)
+    torch.save(model.state_dict(), ckpt)
+    monkeypatch.setenv('AUTOLABEL_FCN50_WEIGHTS', str(ckpt))
+
+    from autolabel_tpu.features.fcn50 import FCN50
+    fe = FCN50(allow_fallback=False)  # must NOT fall back
+    assert fe._extractor is not None
+    x = np.random.default_rng(0).random((1, 3, 64, 64)).astype(np.float32)
+    out = fe(x)
+    assert out.shape == (1, 8, 8, 512)
+    assert np.isfinite(out.astype(np.float32)).all()
