@@ -4,7 +4,9 @@ Parity: autolabel/features/fcn50.py:9-29 (torchvision fcn_resnet50, the
 'classifier.2' node -> 512-channel maps at stride 8). Resolution order:
   1. torchvision pretrained weights (needs network the first time);
   2. AUTOLABEL_FCN50_WEIGHTS=<path to a fcn_resnet50_coco .pth state
-     dict> — same architecture, locally provided weights;
+     dict> through torchvision when installed, else through the
+     TPU-native JAX port (features/fcn_jax.py, numerically validated
+     against transformers' ResNetModel);
   3. deterministic fallback (only with allow_fallback).
 """
 import os
@@ -23,6 +25,7 @@ class FCN50:
 
     def __init__(self, allow_fallback=False):
         self._extractor = None
+        self._jax = None
         try:
             import torch
             from torchvision.models import feature_extraction
@@ -42,11 +45,23 @@ class FCN50:
                 model, return_nodes={'classifier.2': 'features'})
             self._torch = torch
         except Exception as e:
+            weights = os.environ.get('AUTOLABEL_FCN50_WEIGHTS')
+            if weights and os.path.exists(weights):
+                import torch
+
+                from autolabel_tpu.features import fcn_jax
+                state = torch.load(weights, map_location='cpu')
+                state = state.get('state_dict', state.get('model', state))
+                self._jax = fcn_jax.FCNJax(
+                    fcn_jax.load_torchvision_state_dict(state))
+                return
             if not allow_fallback:
                 raise RuntimeError(
                     "FCN-ResNet50 weights are unavailable (torchvision "
-                    f"load failed: {e!r}). Pass --allow-fallback to use "
-                    "deterministic random-projection stand-in features "
+                    f"load failed: {e!r}). Set AUTOLABEL_FCN50_WEIGHTS "
+                    "for the TPU-native JAX port, or pass "
+                    "--allow-fallback to use deterministic "
+                    "random-projection stand-in features "
                     "(testing only — NOT real FCN features).") from e
             warnings.warn(
                 f"FCN-ResNet50 weights unavailable ({e!r}); using "
@@ -60,6 +75,8 @@ class FCN50:
     def __call__(self, x):
         """x: (B, 3, H, W) float in [0, 1] -> (B, H/8, W/8, 512)."""
         if self._extractor is None:
+            if self._jax is not None:
+                return self._jax(x)
             return self._fallback(x)
         torch = self._torch
         with torch.inference_mode():
