@@ -40,6 +40,9 @@ def main():
     parser.add_argument('--num-steps', type=int, default=32)
     parser.add_argument('--proposal-steps', type=int, default=64)
     parser.add_argument('--factor', type=float, default=1.0)
+    parser.add_argument('--occupancy', action='store_true',
+                        help='Maintain the occupancy grid during '
+                        'training (BASELINE config 2 machinery).')
     flags = parser.parse_args()
 
     from autolabel_tpu import model_utils
@@ -62,8 +65,16 @@ def main():
                     hidden_dim_color=128, hidden_dim_semantic=64,
                     semantic_classes=n_classes, bound=bound, grid=grid,
                     proposal=True))
+    occupancy = None
+    if flags.occupancy:
+        from autolabel_tpu.render.occupancy import (OccupancyGrid,
+                                                    OccupancyGridConfig)
+        occupancy = OccupancyGrid(OccupancyGridConfig(), bound)
+        occupancy.mark_untrained_grid(dataset.poses, dataset.intrinsics,
+                                      dataset.camera.size)
+
     trainer = SimpleTrainer(
-        'ngp', field, lr=5e-3, iters=flags.iters,
+        'ngp', field, lr=5e-3, iters=flags.iters, occupancy=occupancy,
         loss_options=LossOptions(),
         render_options=RenderOptions(num_steps=flags.num_steps,
                                      proposal_steps=flags.proposal_steps,
@@ -107,6 +118,7 @@ def main():
         'scene': os.path.basename(os.path.normpath(flags.scene)),
         'grid': flags.grid,
         'corners': flags.corners,
+        'occupancy': flags.occupancy,
         'iters': flags.iters,
         'psnr_db': round(-10 * np.log10(mse), 2),
         'depth_mae': round(float(np.mean(depth_errs)), 4),
