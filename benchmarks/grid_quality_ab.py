@@ -43,6 +43,10 @@ def main():
     parser.add_argument('--occupancy', action='store_true',
                         help='Maintain the occupancy grid during '
                         'training (BASELINE config 2 machinery).')
+    parser.add_argument('--exact-levels', type=int, default=0,
+                        help='Finest grid levels interpolated exactly '
+                        'during the stochastic phase.')
+    parser.add_argument('--exact-final-fraction', type=float, default=0.1)
     flags = parser.parse_args()
 
     from autolabel_tpu import model_utils
@@ -76,11 +80,14 @@ def main():
     trainer = SimpleTrainer(
         'ngp', field, lr=5e-3, iters=flags.iters, occupancy=occupancy,
         loss_options=LossOptions(),
-        render_options=RenderOptions(num_steps=flags.num_steps,
-                                     proposal_steps=flags.proposal_steps,
-                                     perturb=True,
-                                     stochastic_corners=flags.corners),
-        workspace=None, ema_decay=0.95, exact_final_fraction=0.1,
+        render_options=RenderOptions(
+            num_steps=flags.num_steps,
+            proposal_steps=flags.proposal_steps,
+            perturb=True,
+            stochastic_corners=flags.corners,
+            stochastic_exact_levels=flags.exact_levels),
+        workspace=None, ema_decay=0.95,
+        exact_final_fraction=flags.exact_final_fraction,
         metrics=False)
 
     iters_per_epoch = min(1000, flags.iters)
@@ -119,6 +126,8 @@ def main():
         'grid': flags.grid,
         'corners': flags.corners,
         'occupancy': flags.occupancy,
+        'exact_levels': flags.exact_levels,
+        'exact_final_fraction': flags.exact_final_fraction,
         'iters': flags.iters,
         'psnr_db': round(-10 * np.log10(mse), 2),
         'depth_mae': round(float(np.mean(depth_errs)), 4),
