@@ -1,6 +1,7 @@
 """Coverage for previously-untested application surfaces (VERDICT round-1
 item 8): simulate_user end-to-end, the open-vocab evaluate CLI round-trip,
 and import smoke tests for the hloc mapping pipeline and ROS nodes."""
+import importlib
 import os
 import shutil
 import sys
@@ -144,3 +145,67 @@ def test_ros_node_imports_with_mocked_rospy():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+def test_ransac_scale_rejects_outliers():
+    mapping = importlib.import_module('mapping')
+    rng = np.random.default_rng(0)
+    scales = np.concatenate([
+        rng.normal(2.0, 0.005, 500),          # inlier scale ratio ~2.0
+        rng.uniform(0.1, 10.0, 100),          # gross outliers
+    ])
+    est = mapping.ransac_scale(scales, iterations=2000, seed=1)
+    assert abs(est - 2.0) < 0.02
+
+
+def test_oriented_bounding_frame_recovers_box():
+    mapping = importlib.import_module('mapping')
+    rng = np.random.default_rng(1)
+    half = np.array([2.0, 1.0, 0.5])
+    pts = rng.uniform(-1, 1, (5000, 3)) * half
+    # Rotate by a known rotation + translate.
+    angle = 0.7
+    R = np.array([[np.cos(angle), -np.sin(angle), 0],
+                  [np.sin(angle), np.cos(angle), 0],
+                  [0, 0, 1.0]])
+    world = pts @ R.T + np.array([5.0, -2.0, 1.0])
+    T, aabb = mapping.oriented_bounding_frame(world)
+    aligned = world @ T[:3, :3].T + T[:3, 3]
+    # Centered: aabb symmetric, extents recover the box half-sizes
+    # (axes sorted by variance: largest first).
+    np.testing.assert_allclose(aabb[0], -aabb[1], atol=1e-6)
+    np.testing.assert_allclose(np.sort(aabb[1])[::-1], half, rtol=0.05)
+    assert np.all(aligned >= aabb[0] - 1e-6)
+    assert np.all(aligned <= aabb[1] + 1e-6)
+
+
+def test_pose_saver_writes_obb_aligned_scene(sphere_scene, tmp_path):
+    """PoseSaver: depth clouds -> OBB frame -> rewritten pose/*.txt +
+    bbox.txt (the mapping pipeline's final stage, reference
+    mapping.py:274-353) — validated on the synthetic sphere scene."""
+    import shutil
+    mapping = importlib.import_module('mapping')
+    from autolabel_tpu.utils import Scene
+
+    scene_dir = str(tmp_path / 'scene')
+    shutil.copytree(sphere_scene, scene_dir)
+    scene = Scene(scene_dir)
+    poses = {}
+    for path in sorted(os.listdir(os.path.join(scene_dir, 'pose'))):
+        key = path.split('.')[0]
+        poses[key] = np.loadtxt(os.path.join(scene_dir, 'pose', path))
+
+    mapping.PoseSaver(scene, poses).run()
+
+    bbox = np.loadtxt(os.path.join(scene_dir, 'bbox.txt'))
+    assert bbox.shape == (7,)  # min xyz, max xyz, voxel size
+    extents = bbox[3:6] - bbox[:3]
+    assert (extents > 0).all()
+    # The sphere (r=0.5) plus background plane must fit in the box.
+    assert extents.max() < 20.0 and extents.max() > 0.5
+    # Rewritten poses stay rigid transforms.
+    for key in poses:
+        T = np.loadtxt(os.path.join(scene_dir, 'pose', f'{key}.txt'))
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
