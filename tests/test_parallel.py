@@ -93,3 +93,50 @@ def test_batch_sharding_layout():
     assert x.sharding.is_equivalent_to(sharding, ndim=2)
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert shard_shapes == {(8, 3)}
+
+
+def test_dp_tp_step_matches_single_device():
+    """DP x grid-TP: hash table sharded on its feature axis over 'model',
+    rays over 'data' — loss and table gradients must match the
+    single-device computation (gathers stay local per feature slice;
+    XLA inserts the activation all-gather)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from autolabel_tpu.parallel import make_mesh_2d, tree_shardings
+    from autolabel_tpu.render.renderer import render_rays
+    from autolabel_tpu.train.losses import compute_losses
+
+    mesh = make_mesh_2d(2, 2)
+    field = _tiny_field()
+    params = field.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(16).items()}
+    options = RenderOptions(num_steps=8, perturb=False)  # deterministic
+
+    def loss_fn(p, b):
+        out = render_rays(field, p, b['rays_o'], b['rays_d'],
+                          b['direction_norms'], options=options)
+        loss, _ = compute_losses(out, b, LossOptions())
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+    l_single, g_single = jax.jit(grad_fn)(params, batch)
+
+    grid_shape = params['encoder']['grid'].shape
+    pspecs = tree_shardings(mesh, params, grid_shape)
+    bspecs = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    scalar = NamedSharding(mesh, P())
+    jit_tp = jax.jit(grad_fn, in_shardings=(pspecs, bspecs),
+                     out_shardings=(scalar, pspecs))
+    p_tp = jax.device_put(params, pspecs)
+    b_tp = jax.device_put(batch, bspecs)
+
+    # The table really is split on the feature axis (F=2 over 2 devices).
+    shard_shapes = {s.data.shape
+                    for s in p_tp['encoder']['grid'].addressable_shards}
+    assert shard_shapes == {(4, 4096, 1)}
+
+    l_tp, g_tp = jit_tp(p_tp, b_tp)
+    np.testing.assert_allclose(float(l_tp), float(l_single), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_tp['encoder']['grid']),
+                               np.asarray(g_single['encoder']['grid']),
+                               atol=1e-5)
