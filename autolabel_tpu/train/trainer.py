@@ -136,14 +136,25 @@ class SimpleTrainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             replicated = NamedSharding(mesh, P())
             self._batch_sharding = NamedSharding(mesh, P('data'))
-            in_shardings = [replicated, self._batch_sharding, replicated]
+            # With a 'model' mesh axis the hash table (and its Adam
+            # moments / EMA copy) shard on the feature axis — grid
+            # tensor parallelism; everything else replicates.
+            state_spec = replicated
+            if 'model' in mesh.axis_names:
+                from autolabel_tpu.parallel import tree_shardings
+                gc = field.config.grid_config
+                grid_shape = ((gc.n_levels, gc.table_size, gc.n_features)
+                              if gc is not None else None)
+                state_spec = tree_shardings(mesh, self.state, grid_shape)
+                self.state = jax.device_put(self.state, state_spec)
+            in_shardings = [state_spec, self._batch_sharding, replicated]
             if occupancy is not None:
                 in_shardings += [replicated, replicated]
             self._train_step = jax.jit(
                 step,
                 donate_argnums=0,
                 in_shardings=tuple(in_shardings),
-                out_shardings=(replicated, replicated))
+                out_shardings=(state_spec, replicated))
         else:
             self._train_step = jax.jit(step, donate_argnums=0)
         self._train_step_exact = None
@@ -158,7 +169,7 @@ class SimpleTrainer:
                     exact_step,
                     donate_argnums=0,
                     in_shardings=tuple(in_shardings),
-                    out_shardings=(replicated, replicated))
+                    out_shardings=(state_spec, replicated))
             else:
                 self._train_step_exact = jax.jit(exact_step,
                                                  donate_argnums=0)

@@ -41,6 +41,10 @@ def read_args():
                         help="Extra importance-sampled points per ray.")
     parser.add_argument('--mesh-devices', type=int, default=None,
                         help="Data-parallel over this many devices.")
+    parser.add_argument('--mesh-model', type=int, default=1,
+                        help="Shard the hash table's feature axis over "
+                        "this many of the mesh devices (grid tensor "
+                        "parallelism; mesh-devices must be divisible).")
     parser.add_argument('--save-optimizer', action='store_true',
                         help="Persist Adam moments in the final checkpoint "
                         "(doubles checkpoint transfer size).")
@@ -116,8 +120,14 @@ def main():
 
     mesh = None
     if flags.mesh_devices:
-        from autolabel_tpu.parallel import make_mesh
-        mesh = make_mesh(flags.mesh_devices)
+        if flags.mesh_model > 1:
+            from autolabel_tpu.parallel import make_mesh_2d
+            assert flags.mesh_devices % flags.mesh_model == 0
+            mesh = make_mesh_2d(flags.mesh_devices // flags.mesh_model,
+                                flags.mesh_model)
+        else:
+            from autolabel_tpu.parallel import make_mesh
+            mesh = make_mesh(flags.mesh_devices)
 
     occupancy = None
     if flags.occupancy_grid:

@@ -140,3 +140,41 @@ def test_dp_tp_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(g_tp['encoder']['grid']),
                                np.asarray(g_single['encoder']['grid']),
                                atol=1e-5)
+
+
+def test_trainer_with_dp_tp_mesh():
+    """SimpleTrainer on a ('data', 'model') mesh: the state's hash-table
+    leaves (params/ema/Adam moments) shard on the feature axis, steps
+    run, and the loss tracks the replicated-DP trainer's."""
+    from autolabel_tpu.parallel import make_mesh_2d
+
+    field = _tiny_field()
+    batch = _tiny_batch(64)
+
+    def make(mesh):
+        return SimpleTrainer('ngp', field, iters=1000,
+                             loss_options=LossOptions(),
+                             render_options=RenderOptions(num_steps=8),
+                             workspace=None, mesh=mesh, seed=3)
+
+    tp = make(make_mesh_2d(4, 2))
+    single = make(None)
+
+    grid = tp.state['params']['encoder']['grid']
+    assert {s.data.shape for s in grid.addressable_shards} == \
+        {(4, 4096, 1)}
+
+    for _ in range(2):
+        tp.state, tp_losses = tp._train_step(
+            tp.state, tp._device_batch(batch), tp._base_key)
+        single.state, s_losses = single._train_step(
+            single.state, single._device_batch(batch), single._base_key)
+    np.testing.assert_allclose(float(tp_losses['total']),
+                               float(s_losses['total']), rtol=1e-3)
+    # Moments sharded too: the Adam mu tree mirrors the param shapes.
+    mu_leaves = [leaf for leaf in jax.tree.leaves(tp.state['opt_state'])
+                 if hasattr(leaf, 'shape') and leaf.shape == grid.shape]
+    assert mu_leaves, 'expected grid-shaped optimizer moments'
+    for leaf in mu_leaves:
+        assert {s.data.shape for s in leaf.addressable_shards} == \
+            {(4, 4096, 1)}
