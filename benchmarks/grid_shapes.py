@@ -31,6 +31,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=4096)
     parser.add_argument('--corners', type=int, nargs='*', default=[2, 0])
+    parser.add_argument('--grids', type=str, nargs='*', default=None,
+                        help='Subset of layout names to time.')
     flags = parser.parse_args()
 
     import jax
@@ -67,6 +69,8 @@ def main():
     }
     loss_options = LossOptions()
 
+    if flags.grids:
+        grids = {k: v for k, v in grids.items() if k in flags.grids}
     for name, grid in grids.items():
         field = Field(
             FieldConfig(encoding='hg+freq', hidden_dim=128,
