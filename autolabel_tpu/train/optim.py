@@ -30,7 +30,15 @@ def lr_schedule(lr, iters=None):
 
 def make_optimizer(params, lr=5e-3, iters=None, weight_decay=1e-6):
     """Adam with per-group weight decay, matching the reference groups:
-    'encoding' (hash table, no decay) vs 'net' (MLP weights, 1e-6)."""
+    'encoding' (hash table, no decay) vs 'net' (MLP weights, 1e-6).
+
+    Wrapped in apply_if_finite: the reference's AMP GradScaler skips any
+    step whose gradients hit inf/nan (trainer.py:45-48); bf16-on-TPU has
+    no scaler, so non-finite updates are rejected here instead — without
+    this, heavily duplicated ray batches (interactive annotation with a
+    tiny labeled pool, simulate_user) can spiral the density head into
+    inf within a few dozen steps.
+    """
     labels = Field.param_labels(params)
     tx = optax.chain(
         optax.masked(optax.add_decayed_weights(weight_decay),
@@ -39,4 +47,4 @@ def make_optimizer(params, lr=5e-3, iters=None, weight_decay=1e-6):
         optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
         optax.scale_by_learning_rate(lr_schedule(lr, iters)),
     )
-    return tx
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)

@@ -168,3 +168,40 @@ def test_interactive_trainer_steps(sphere_dataset):
         losses = trainer.take_step()
     assert np.isfinite(float(losses['total']))
     assert trainer.step == 5
+
+
+def test_annotation_burst_stays_finite(sphere_scene):
+    """Regression: a tiny labeled pool turns on class-balanced sampling
+    with heavily DUPLICATED rays per batch; without the trunc_exp input
+    clamp + apply_if_finite update rejection (the reference gets both
+    implicitly from fp16 AMP + GradScaler, trainer.py:45-48) the density
+    head spirals to inf within ~40 steps. The simulate_user/interactive
+    annotation path depends on this staying finite."""
+    import jax
+
+    dataset = SceneDataset('train', sphere_scene, factor=1.0,
+                           batch_size=512, load_semantic=False)
+    field = Field(
+        FieldConfig(encoding='hg+freq', hidden_dim=32,
+                    hidden_dim_color=32, hidden_dim_semantic=16,
+                    semantic_classes=dataset.n_classes,
+                    bound=model_utils.compute_bound(dataset.min_bounds,
+                                                    dataset.max_bounds),
+                    grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                        per_level_scale=1.6)))
+    trainer = SimpleTrainer('ngp', field, lr=5e-3, iters=1000,
+                            loss_options=LossOptions(),
+                            render_options=RenderOptions(num_steps=16,
+                                                         perturb=True),
+                            workspace=None, metrics=False)
+    trainer.train_iterations(dataset, 50)
+    # Annotate a handful of pixels -> balanced sampling duplicates them.
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, dataset.resolution, 20)
+    dataset.semantics[0][idx] = 2
+    dataset.update_sampler()
+    losses = trainer.train_iterations(dataset, 120)
+    losses = {k: float(v) for k, v in jax.device_get(losses).items()}
+    assert np.isfinite(losses['total']), losses
+    for leaf in jax.tree.leaves(trainer.state['params']):
+        assert np.isfinite(np.asarray(leaf)).all()
