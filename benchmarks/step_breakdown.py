@@ -1,0 +1,146 @@
+"""Decompose the flagship train-step cost on hardware.
+
+Times (fetch-fenced, like bench.py): the full step, value_and_grad
+without the optimizer, the forward loss alone, the bare hash-encode
+fwd (the gather), and the Adam update alone — the component budget that
+tells round 3 where the remaining milliseconds live.
+
+Usage: python benchmarks/step_breakdown.py [--batch 4096] [--corners 2]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NUM_STEPS = 32
+PROPOSAL_STEPS = 64
+WARMUP = 5
+ITERS = 30
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch', type=int, default=4096)
+    parser.add_argument('--corners', type=int, default=2)
+    flags = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from autolabel_tpu.models.field import Field, FieldConfig
+    from autolabel_tpu.ops.encoders import TPU_GRID, hashgrid_encode
+    from autolabel_tpu.render.renderer import RenderOptions, render_rays
+    from autolabel_tpu.train.losses import LossOptions, compute_losses
+    from autolabel_tpu.train.optim import make_optimizer
+
+    field = Field(
+        FieldConfig(encoding='hg+freq', hidden_dim=128,
+                    hidden_dim_color=128, hidden_dim_semantic=64,
+                    semantic_classes=6, bound=2.0, grid=TPU_GRID,
+                    proposal=True))
+    params = field.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, lr=5e-3, iters=10000)
+    opt_state = tx.init(params)
+    loss_options = LossOptions()
+    options = RenderOptions(num_steps=NUM_STEPS,
+                            proposal_steps=PROPOSAL_STEPS, perturb=True,
+                            stochastic_corners=flags.corners)
+
+    rng = np.random.default_rng(0)
+    n = flags.batch
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    batch = {
+        'rays_o': jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32),
+        'rays_d': jnp.asarray(d),
+        'direction_norms': jnp.ones((n, 1), jnp.float32),
+        'pixels': jnp.asarray(rng.random((n, 3)), jnp.float32),
+        'depth': jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32),
+        'semantic': jnp.asarray(rng.integers(-1, 6, n), jnp.int32),
+    }
+
+    def loss_fn(p, b, key):
+        out = render_rays(field, p, b['rays_o'], b['rays_d'],
+                          b['direction_norms'], key=key, options=options)
+        return compute_losses(out, b, loss_options)[0]
+
+    def timed(fn, *args):
+        out = None
+        for i in range(WARMUP):
+            out = fn(*args)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # fence
+        start = time.perf_counter()
+        for i in range(ITERS):
+            out = fn(*args)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        return (time.perf_counter() - start) / ITERS * 1000
+
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def full_step(p, o, b, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b, key)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    @jax.jit
+    def grad_only(p, b, key):
+        return jax.value_and_grad(loss_fn)(p, b, key)
+
+    fwd_only = jax.jit(loss_fn)
+
+    # Bare encode: the flagship's main-field gather workload
+    # (batch x num_steps points, k corners).
+    pts = jnp.asarray(
+        rng.uniform(0, 1, (n * NUM_STEPS, 3)), jnp.float32)
+
+    # Scalar outputs: the fence fetches one float, not the (N, 512)
+    # encode output (a multi-hundred-MB device->host transfer would
+    # dominate the timing on the tunneled runtime).
+    @jax.jit
+    def encode_fwd(table, pts, key):
+        return hashgrid_encode(table, pts, TPU_GRID, key=key,
+                               n_samples=max(1, flags.corners)).sum()
+
+    @jax.jit
+    def encode_grad(table, pts, key):
+        def f(t):
+            return hashgrid_encode(t, pts, TPU_GRID, key=key,
+                                   n_samples=max(1,
+                                                 flags.corners)).sum()
+        return jax.grad(f)(table).sum()
+
+    grads = jax.tree.map(jnp.zeros_like, params)
+
+    @jax.jit
+    def adam_only(g, o, p):
+        updates, o = tx.update(g, o, p)
+        return optax.apply_updates(p, updates), o
+
+    results = {
+        'full_step_ms': round(timed(full_step, params, opt_state, batch,
+                                    key), 2),
+        'grad_only_ms': round(timed(grad_only, params, batch, key), 2),
+        'fwd_only_ms': round(timed(fwd_only, params, batch, key), 2),
+        'encode_fwd_ms': round(timed(encode_fwd,
+                                     params['encoder']['grid'], pts,
+                                     key), 2),
+        'encode_fwd_bwd_ms': round(timed(encode_grad,
+                                         params['encoder']['grid'], pts,
+                                         key), 2),
+        'adam_only_ms': round(timed(adam_only, grads, opt_state, params),
+                              2),
+        'batch': n,
+        'corners': flags.corners,
+    }
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()
