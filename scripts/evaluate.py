@@ -132,8 +132,14 @@ def main(flags):
         print(f'Evaluating scene {scene_name}')
         for model_hash, model_path in iter_model_workspaces(
                 scene, flags.workspace):
-            params, per_class_iou = evaluate_workspace(
-                scene, model_hash, model_path, flags)
+            try:
+                params, per_class_iou = evaluate_workspace(
+                    scene, model_hash, model_path, flags)
+            except Exception as e:
+                # Workspaces can hold foreign checkpoints (e.g. the
+                # reference's torch pickles) — skip, don't abort the run.
+                print(f'Skipping {model_hash}: cannot load ({e!r})')
+                continue
             run.record(scene_name, model_hash, params, per_class_iou)
 
     if flags.out is not None:

@@ -159,10 +159,35 @@ def _look_at(position, target):
     return T_WC
 
 
+def write_gt_mask(scene_dir, index, semantic, width, height,
+                  class_id=2, label='red ball'):
+    """Labelme polygon annotation of one object class (the reference's
+    gt_masks workflow annotates binary foreground masks; utils
+    _read_gt_mask rasterizes every polygon to 1)."""
+    contours, _ = cv2.findContours((semantic == class_id).astype(np.uint8),
+                                   cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    shapes = [{
+        'label': label,
+        'points': contour.reshape(-1, 2).astype(float).tolist(),
+    } for contour in contours if len(contour) >= 3]
+    if not shapes:
+        return False
+    with open(os.path.join(scene_dir, 'gt_masks', f'{index}.json'),
+              'w') as f:
+        json.dump({
+            'imageWidth': width,
+            'imageHeight': height,
+            'shapes': shapes,
+        }, f)
+    return True
+
+
 def make_room_scene(scene_dir, n_frames=96, width=160, height=120,
                     label_every=4):
     os.makedirs(scene_dir, exist_ok=True)
-    for sub in ('rgb', 'depth', 'pose', 'semantic', 'gt_semantic'):
+    for sub in ('rgb', 'depth', 'pose', 'semantic', 'gt_semantic',
+                'gt_masks'):
         os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
 
     focal = 0.75 * width
@@ -198,6 +223,8 @@ def make_room_scene(scene_dir, n_frames=96, width=160, height=120,
         if i % label_every == 0:
             cv2.imwrite(os.path.join(scene_dir, 'semantic', f'{i}.png'),
                         semantic)
+        if i % (2 * label_every) == 0:
+            write_gt_mask(scene_dir, i, semantic, width, height)
     return scene_dir
 
 
