@@ -144,3 +144,29 @@ def test_dynamic_dataset_online_flow(sphere_scene):
         assert np.isfinite(batch['depth']).all()
     finally:
         dataset.stop()
+
+
+def test_room_scene_gt_masks_roundtrip(tmp_path):
+    """The room generator's labelme gt_masks rasterize back through
+    Scene.gt_masks and overlap the red-ball class of gt_semantic."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import cv2
+    from room import make_room_scene
+
+    scene_dir = str(tmp_path / 'room')
+    make_room_scene(scene_dir, n_frames=8, width=80, height=60,
+                    label_every=2)
+    scene = Scene(scene_dir)
+    masks = scene.gt_masks(scene.camera.size)
+    assert len(masks) >= 2
+    for index, mask in masks:
+        assert mask.shape == (60, 80)
+        gt = cv2.imread(os.path.join(scene_dir, 'gt_semantic',
+                                     f'{index}.png'), -1)
+        ball = gt == 2
+        if ball.sum() < 20:
+            continue
+        inter = (mask.astype(bool) & ball).sum()
+        union = (mask.astype(bool) | ball).sum()
+        assert inter / union > 0.6  # polygonization is lossy but close
