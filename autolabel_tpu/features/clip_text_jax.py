@@ -269,9 +269,20 @@ def _bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-_WORD_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[a-z]+|[0-9]|[^\sa-z0-9]+", re.IGNORECASE)
+try:
+    # CLIP's tokenizer splits on unicode letter/number classes; the stdlib
+    # re module has no \p{L}/\p{N}, so non-ASCII prompts would tokenize
+    # differently from the reference clip.tokenize. Use the `regex`
+    # module when present (it is in this environment), fall back to the
+    # ASCII approximation otherwise (English prompts only).
+    import regex as _regex
+    _WORD_PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+", _regex.IGNORECASE)
+except ImportError:  # pragma: no cover - regex is a baked-in dependency
+    _WORD_PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[a-z]+|[0-9]|[^\sa-z0-9]+", re.IGNORECASE)
 
 
 class SimpleTokenizer:

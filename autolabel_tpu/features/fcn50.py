@@ -37,7 +37,21 @@ class FCN50:
                 model = fcn_resnet50(weights=None, weights_backbone=None)
                 state = torch.load(weights, map_location='cpu')
                 state = state.get('state_dict', state.get('model', state))
-                model.load_state_dict(state, strict=False)
+                # aux_classifier.* is the only legitimately optional part
+                # of a fcn_resnet50_coco checkpoint; anything else missing
+                # means the file is not an FCN50 checkpoint at all, and a
+                # silently half-random model must not pose as a real
+                # teacher.
+                state = {k: v for k, v in state.items()
+                         if not k.startswith('aux_classifier.')}
+                missing, _ = model.load_state_dict(state, strict=False)
+                missing = [k for k in missing
+                           if not k.startswith('aux_classifier.')]
+                if missing:
+                    raise RuntimeError(
+                        f"AUTOLABEL_FCN50_WEIGHTS={weights} does not match "
+                        f"fcn_resnet50 (missing {len(missing)} keys, e.g. "
+                        f"{missing[:3]})")
             else:
                 model = fcn_resnet50(weights='DEFAULT')
             model.eval()
@@ -47,14 +61,23 @@ class FCN50:
         except Exception as e:
             weights = os.environ.get('AUTOLABEL_FCN50_WEIGHTS')
             if weights and os.path.exists(weights):
-                import torch
+                # The torchvision path failed; try the TPU-native JAX
+                # port. This may itself fail (e.g. torch was the missing
+                # dependency) — fall through to the descriptive error /
+                # fallback handling below rather than crashing with an
+                # unrelated ImportError.
+                try:
+                    import torch
 
-                from autolabel_tpu.features import fcn_jax
-                state = torch.load(weights, map_location='cpu')
-                state = state.get('state_dict', state.get('model', state))
-                self._jax = fcn_jax.FCNJax(
-                    fcn_jax.load_torchvision_state_dict(state))
-                return
+                    from autolabel_tpu.features import fcn_jax
+                    state = torch.load(weights, map_location='cpu')
+                    state = state.get('state_dict',
+                                      state.get('model', state))
+                    self._jax = fcn_jax.FCNJax(
+                        fcn_jax.load_torchvision_state_dict(state))
+                    return
+                except Exception as e2:
+                    e = e2
             if not allow_fallback:
                 raise RuntimeError(
                     "FCN-ResNet50 weights are unavailable (torchvision "

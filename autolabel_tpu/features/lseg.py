@@ -66,18 +66,26 @@ class LSegFE:
                     "(testing only — NOT real vision-language features)."
                 ) from e
             if self._jax_clip is not None:
+                # The env-var CLIP satisfies only the TEXT side. Stand-in
+                # pixel features remain an explicit opt-in: open-vocab
+                # matching of real text embeddings against random pixel
+                # features is meaningless and must not happen silently.
                 warnings.warn(
                     f"lang-seg unavailable ({e!r}); using the JAX CLIP "
-                    "text encoder (real weights) with deterministic "
-                    "fallback PIXEL features — text queries are real, "
-                    "feature maps are stand-ins unless lang-seg is "
-                    "installed.")
+                    "text encoder (real weights). Pixel feature-map "
+                    "extraction "
+                    + ("uses deterministic STAND-IN features "
+                       "(--allow-fallback)." if allow_fallback else
+                       "is disabled — pass --allow-fallback to use "
+                       "deterministic stand-in features (testing only)."))
             else:
                 warnings.warn(
                     f"LSeg unavailable ({e!r}); using deterministic "
                     "fallback features + hash text encoder.")
-            self._fallback = RandomFeatureExtractor(self.out_dim, stride=2,
-                                                    seed=1512)
+            self._fallback = None
+            if allow_fallback or self._jax_clip is None:
+                self._fallback = RandomFeatureExtractor(self.out_dim,
+                                                        stride=2, seed=1512)
             self._hash_text = HashTextEncoder(self.out_dim)
 
     def shape(self, input_shape):
@@ -101,6 +109,13 @@ class LSegFE:
     def __call__(self, x):
         """x: (B, 3, H, W) float in [0, 1] -> (B, H/2, W/2, 512)."""
         if self._evaluator is None:
+            if self._fallback is None:
+                raise RuntimeError(
+                    "LSeg pixel-feature extraction is unavailable "
+                    "(lang-seg not installed; AUTOLABEL_CLIP_WEIGHTS "
+                    "provides only the text encoder). Pass "
+                    "--allow-fallback to use deterministic stand-in "
+                    "features (testing only — NOT real LSeg features).")
             return self._fallback(x)
         torch = self._torch
         import torch.nn.functional as F

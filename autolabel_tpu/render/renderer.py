@@ -48,7 +48,13 @@ class RenderOptions:
     # [near, far] to the occupied span before sampling — the TPU-shaped
     # version of torch-ngp's empty-space skipping (samples concentrate
     # instead of compacting). Costs one tiny (N, 32) grid gather.
-    occupancy_near_far: bool = True
+    # OPT-IN: an occupied shell thinner than the probe spacing can be
+    # missed entirely, shrinking [near, far] past real geometry per-ray —
+    # unlike the always-on sigma masking, which only ever zeros empty
+    # cells. Big win on mostly-empty scenes (sphere: halves depth error),
+    # risky on thin-structure content; the sampler never shrinks unless
+    # at least one probe hits occupied space.
+    occupancy_near_far: bool = False
     occupancy_probes: int = 32
 
 

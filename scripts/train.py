@@ -51,6 +51,11 @@ def read_args():
     parser.add_argument('--occupancy-grid', action='store_true',
                         help="Maintain an occupancy grid masking density "
                         "in empty/unobserved cells during rendering.")
+    parser.add_argument('--occupancy-near-far', action='store_true',
+                        help="With --occupancy-grid, also shrink each "
+                        "ray's [near, far] to the occupied span (big win "
+                        "on mostly-empty scenes; can clip geometry "
+                        "thinner than the probe spacing, hence opt-in).")
     parser.add_argument('--stochastic-corners', type=int, default=2,
                         help="Hash-grid corners sampled per point in "
                         "training (unbiased estimate of the trilinear "
@@ -116,7 +121,8 @@ def main():
         proposal_steps=flags.proposal_steps if flags.proposal else 0,
         stochastic_corners=(0 if flags.no_stochastic_corners else
                             flags.stochastic_corners),
-        stochastic_exact_levels=flags.stochastic_exact_levels)
+        stochastic_exact_levels=flags.stochastic_exact_levels,
+        occupancy_near_far=flags.occupancy_near_far)
 
     mesh = None
     if flags.mesh_devices:

@@ -23,6 +23,23 @@ import pytest
 
 from tests.synthetic import make_synthetic_scene
 
+# Build the _raybatch C extension in place when a compiler is available so
+# tests/test_native.py exercises the native kernel instead of skipping
+# (VERDICT r2: the 3.8x-over-numpy claim was only proven where someone
+# remembered to build_ext). Graceful: any failure leaves the numpy
+# fallback path in charge and the native tests skip as before.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:
+    from autolabel_tpu import _raybatch  # noqa: F401
+except ImportError:
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, 'setup.py', 'build_ext', '--inplace'],
+            cwd=_REPO, capture_output=True, timeout=300, check=True)
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope='session')
 def sphere_scene(tmp_path_factory):

@@ -191,3 +191,11 @@ def test_lseg_uses_jax_clip_from_env(tmp_path, monkeypatch):
     np.testing.assert_allclose(emb, emb2, atol=0)
     # Different prompts embed differently.
     assert np.abs(emb[0] - emb[1]).max() > 1e-4
+    # The env-var CLIP satisfies only the TEXT side: PIXEL feature
+    # extraction must still refuse without the explicit opt-in (matching
+    # real text embeddings against random pixel features is meaningless).
+    with pytest.raises(RuntimeError, match='allow-fallback'):
+        fe(np.zeros((1, 3, 16, 16), np.float32))
+    fe2 = LSegFE(allow_fallback=True)
+    assert fe2._jax_clip is not None
+    assert fe2(np.zeros((1, 3, 16, 16), np.float32)).shape == (1, 8, 8, 512)
