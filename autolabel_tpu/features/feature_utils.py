@@ -16,4 +16,9 @@ def get_feature_extractor(features, checkpoint=None, allow_fallback=False):
     elif features == 'lseg':
         from autolabel_tpu.features.lseg import LSegFE
         return LSegFE(checkpoint, allow_fallback=allow_fallback)
+    elif features == 'demo':
+        # Scene-trained text+pixel contrastive teacher: genuinely shared
+        # embedding space without network access (features/demo_clip.py).
+        from autolabel_tpu.features.demo_clip import DemoCLIPFE
+        return DemoCLIPFE(checkpoint, allow_fallback=allow_fallback)
     raise NotImplementedError(f"Unknown feature extractor {features}")

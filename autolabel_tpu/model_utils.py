@@ -25,7 +25,7 @@ def model_flag_parser():
     parser.add_argument('--features',
                         type=str,
                         default=None,
-                        choices=[None, 'fcn50', 'dino', 'lseg'],
+                        choices=[None, 'fcn50', 'dino', 'lseg', 'demo'],
                         help="Use semantic feature supervision.")
     parser.add_argument('--rgb-weight', default=1.0, type=float)
     parser.add_argument('--semantic-weight', default=1.0, type=float)

@@ -37,7 +37,7 @@ def read_args():
                         help="Create video of maps and write to this path.")
     parser.add_argument('--features',
                         type=str,
-                        choices=['fcn50', 'dino', 'lseg'])
+                        choices=['fcn50', 'dino', 'lseg', 'demo'])
     parser.add_argument('--checkpoint',
                         type=str,
                         help="Which model weights to use.")
