@@ -196,9 +196,12 @@ class ScaleEstimation:
     min_depth = 0.05
 
     def __init__(self, scene, colmap_dir):
-        import pycolmap
+        # pycolmap when installed; otherwise the pure-python COLMAP
+        # text-model parser — the post-SfM stages run (and are tested)
+        # without the native COLMAP stack.
+        from autolabel_tpu.utils.colmap_text import load_reconstruction
         self.scene = scene
-        self.reconstruction = pycolmap.Reconstruction(colmap_dir)
+        self.reconstruction = load_reconstruction(colmap_dir)
         self._read_trajectory()
         self._read_depth_maps()
 

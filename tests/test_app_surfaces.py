@@ -7,6 +7,7 @@ import shutil
 import sys
 import types
 
+import cv2
 import numpy as np
 import pandas
 import pytest
@@ -209,3 +210,86 @@ def test_pose_saver_writes_obb_aligned_scene(sphere_scene, tmp_path):
         R = T[:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
+
+
+def test_scale_estimation_and_pose_saver_from_colmap_fixture(
+        sphere_scene, tmp_path):
+    """The full post-SfM pipeline (reference mapping.py:182-353) from
+    reconstruction artifacts to pose/*.txt + bbox.txt: a COLMAP text
+    model built from the synthetic scene's known geometry (at a wrong
+    global scale) drives ScaleEstimation -> metric poses -> PoseSaver,
+    without pycolmap (utils/colmap_text.py duck-types the slice of the
+    pycolmap.Reconstruction API mapping.py touches)."""
+    import shutil
+    mapping = importlib.import_module('mapping')
+    from autolabel_tpu.utils import Scene, transform_points
+    from autolabel_tpu.utils import colmap_text as ct
+
+    scene_dir = str(tmp_path / 'scene')
+    shutil.copytree(sphere_scene, scene_dir)
+    scene = Scene(scene_dir)
+    K = scene.camera.camera_matrix
+    w, h = scene.camera.size
+    scale_gt = 3.7  # SfM world = metric world / scale_gt
+
+    rng = np.random.default_rng(5)
+    images, points3D = [], {}
+    metric_poses = {}
+    pid = 0
+    for image_id, depth_path in enumerate(scene.depth_paths(), start=1):
+        key = os.path.basename(depth_path).split('.')[0]
+        depth = cv2.imread(depth_path, -1).astype(np.float64) / 1000.0
+        T_CW = np.loadtxt(os.path.join(scene_dir, 'pose', f'{key}.txt'))
+        metric_poses[key] = T_CW
+        T_WC = np.linalg.inv(T_CW)
+        ys, xs = np.nonzero(depth > 0.2)
+        pick = rng.choice(len(ys), size=min(40, len(ys)), replace=False)
+        pts2d = []
+        for px, py in zip(xs[pick], ys[pick]):
+            z = depth[py, px]
+            p_C = np.array([(px + 0.5 - K[0, 2]) * z / K[0, 0],
+                            (py + 0.5 - K[1, 2]) * z / K[1, 1], z])
+            p_W = transform_points(T_WC, p_C)
+            pid += 1
+            points3D[pid] = ct.ColmapPoint3D(
+                id=pid, xyz=p_W / scale_gt,
+                rgb=np.array([128, 128, 128]), error=0.5)
+            pts2d.append(ct.ColmapPoint2D(
+                xy=np.array([px + 0.5, py + 0.5]), point3D_id=pid))
+        # A few unmatched keypoints exercise the point3D_id == -1 filter.
+        pts2d.append(ct.ColmapPoint2D(xy=np.array([1.0, 1.0]),
+                                      point3D_id=-1))
+        images.append(ct.ColmapImage(
+            image_id, ct.rotmat_to_qvec(T_CW[:3, :3]),
+            T_CW[:3, 3] / scale_gt, 1, f'{key}.png', pts2d))
+
+    camera = ct.ColmapCamera(1, 'OPENCV', w, h,
+                             np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                                       0.0, 0.0, 0.0, 0.0]))
+    model_dir = str(tmp_path / 'colmap')
+    ct.write_text_model(model_dir, camera, images, points3D)
+
+    # The parser round-trips what the writer produced.
+    model = ct.ColmapTextModel(model_dir)
+    assert len(model.images) == len(metric_poses)
+    img0 = model.images[1]
+    np.testing.assert_allclose(
+        img0.rotmat(), metric_poses[img0.name.split('.')[0]][:3, :3],
+        atol=1e-6)
+    assert len(img0.get_valid_points2D()) == len(img0.points2D) - 1
+
+    # ScaleEstimation recovers the metric scale from sensor depth.
+    scaled = mapping.ScaleEstimation(scene, model_dir).run()
+    for key, T in scaled.items():
+        np.testing.assert_allclose(T[:3, 3], metric_poses[key][:3, 3],
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(T[:3, :3], metric_poses[key][:3, :3],
+                                   atol=1e-6)
+
+    # PoseSaver writes the final scene artifacts from those poses.
+    mapping.PoseSaver(scene, scaled).run()
+    bbox = np.loadtxt(os.path.join(scene_dir, 'bbox.txt'))
+    assert bbox.shape == (7,)
+    assert (bbox[3:6] > bbox[:3]).all()
+    reloaded = Scene(scene_dir)
+    assert len(reloaded.poses) == len(metric_poses)
