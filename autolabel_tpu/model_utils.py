@@ -45,6 +45,14 @@ def model_flag_parser():
                         "hash-grid queries ~4x (mip-NeRF-360 style).")
     parser.add_argument('--proposal-steps', type=int, default=64,
                         help="Uniform proposal samples per ray.")
+    parser.add_argument('--grid-interp',
+                        default='trilinear',
+                        choices=['trilinear', 'simplex'],
+                        help="Hash-grid interpolation: 'trilinear' (8 "
+                        "cell corners, reference parity) or 'simplex' "
+                        "(tetrahedral, 4 corners — halves the gather/"
+                        "scatter cost of the encode, the step's cost "
+                        "center).")
     return parser
 
 
@@ -60,6 +68,10 @@ def model_hash(flags):
         string += "_tpugrid"
     if getattr(flags, 'proposal', False):
         string += "_prop"
+    # The interpolant is part of the model semantics (the table is
+    # trained against it), so simplex models get their own workspace.
+    if getattr(flags, 'grid_interp', 'trilinear') == 'simplex':
+        string += "_simplex"
     return string
 
 
@@ -102,7 +114,9 @@ def create_model(min_bounds, max_bounds, n_classes, flags):
                          semantic_classes=n_classes,
                          bound=compute_bound(min_bounds, max_bounds),
                          grid=grid,
-                         proposal=getattr(flags, 'proposal', False))
+                         proposal=getattr(flags, 'proposal', False),
+                         grid_interp=getattr(flags, 'grid_interp',
+                                             'trilinear'))
     return Field(config)
 
 

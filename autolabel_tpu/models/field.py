@@ -44,6 +44,12 @@ class FieldConfig:
     # Hash-grid implementation: 'xla' (gather/scatter, runs everywhere) or
     # 'pallas' (fused VMEM-resident forward kernel, TPU only).
     grid_impl: str = 'xla'
+    # Hash-grid interpolation: 'trilinear' (8 cell corners, reference
+    # parity) or 'simplex' (tetrahedral, 4 corners — halves the
+    # row-latency-bound gather/scatter cost of the encode fwd+bwd; see
+    # ops/encoders.hashgrid_encode). A model property, not a render
+    # option: train and eval must read the table the same way.
+    grid_interp: str = 'trilinear'
     # Proposal sampler: a tiny frequency-encoded density MLP that places
     # the main field's samples (mip-NeRF-360 style). Cuts hash-grid
     # queries ~4x on TPU where the grid gather dominates the step.
@@ -115,13 +121,15 @@ class Field:
     def _grid_encode(self, table, normalized, key=None, n_samples=1,
                      exact_levels=0):
         c = self.config
-        if c.grid_impl == 'pallas' and key is None:
+        if (c.grid_impl == 'pallas' and key is None
+                and c.grid_interp == 'trilinear'):
             from autolabel_tpu.ops.hashgrid_pallas import (
                 hashgrid_encode_hybrid)
             return hashgrid_encode_hybrid(table, normalized, c.grid_config)
         return hashgrid_encode(table, normalized, c.grid_config, key=key,
                                n_samples=n_samples,
-                               exact_levels=exact_levels)
+                               exact_levels=exact_levels,
+                               interp=c.grid_interp)
 
     def encode(self, params: Params, x, key=None, n_samples=1,
                exact_levels=0):

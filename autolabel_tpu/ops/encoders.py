@@ -160,8 +160,10 @@ def _grid_geometry(x, config):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('config', 'n_samples', 'exact_levels'))
-def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0):
+                   static_argnames=('config', 'n_samples', 'exact_levels',
+                                    'interp'))
+def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
+                    interp='trilinear'):
     """Encode (N, 3) points in [0, 1] -> (N, n_levels * n_features).
 
     Two formulations, chosen by feature width (both exact):
@@ -188,7 +190,29 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0):
     draws. exact_levels > 0 keeps the FINEST levels exactly interpolated
     (they carry the detail and, being the most hash-colliding, most of
     the estimator variance) while coarser levels stay stochastic.
+
+    interp: 'trilinear' (8 cell corners, the reference's tcnn
+    formulation) or 'simplex' (tetrahedral: the cube splits into 6
+    tetrahedra by the ordering of the fractional coords and only the 4
+    corners of the containing tetrahedron are gathered — exact C0
+    interpolant, matches trilinear on cell corners and edges).
+    Scatter/gather rows cost ~15 ns/row on v5e regardless of structure
+    (benchmarks/scatter_lab.py), so halving the rows halves the
+    dominant encode fwd+bwd cost; the features are learned, so the
+    field adapts to the interpolant it is trained with. In stochastic
+    mode the corner is drawn from the 4-atom simplex distribution
+    (inverse CDF, antithetic pairs) — same unbiasedness, lower variance
+    than the 8-atom trilinear draw.
     """
+    if interp == 'simplex':
+        if config.n_features % 8 != 0:
+            raise NotImplementedError(
+                "simplex interpolation is implemented for the wide-row "
+                "(TPU_GRID-shaped) layout only")
+        if key is not None:
+            return _encode_stochastic_simplex(table, x, config, key,
+                                              n_samples, exact_levels)
+        return _encode_rows_simplex(table, x, config)
     if key is not None:
         return _encode_stochastic(table, x, config, key, n_samples,
                                   exact_levels)
@@ -209,6 +233,108 @@ def _encode_rows(table, x, config):
             weight = _corner_weight(frac[:, l], corner).astype(table.dtype)
             acc = acc + jnp.take(table[l], idx, axis=0) * weight[:, None]
         outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _simplex_corners(frac_l):
+    """Tetrahedral-interpolation corners of one level.
+
+    frac_l: (3, N) fractional coords in the cell. The unit cube splits
+    into 6 tetrahedra by the ordering of (fx, fy, fz); the containing
+    tetrahedron's corners are the lattice path base -> +e_max -> +e_mid
+    -> (1,1,1). With sorted fractions s1 >= s2 >= s3 the barycentric
+    weights are (1-s1, s1-s2, s2-s3, s3): non-negative, summing to 1,
+    continuous in frac (ties zero the ambiguous corners' weights, so the
+    argmax/argmin tie-breaks never matter), and agreeing with trilinear
+    interpolation on cell corners and edges (linear, not cubic, along
+    the main diagonal).
+
+    Returns (offsets (4, 3, N) int32 in {0, 1}, weights (4, N)).
+    """
+    s1 = jnp.max(frac_l, axis=0)
+    s3 = jnp.min(frac_l, axis=0)
+    s2 = frac_l.sum(axis=0) - s1 - s3
+    o1 = jax.nn.one_hot(jnp.argmax(frac_l, axis=0), 3, axis=0,
+                        dtype=jnp.int32)  # (3, N)
+    o2 = 1 - jax.nn.one_hot(jnp.argmin(frac_l, axis=0), 3, axis=0,
+                            dtype=jnp.int32)
+    offsets = jnp.stack(
+        [jnp.zeros_like(o1), o1, o2, jnp.ones_like(o1)])  # (4, 3, N)
+    weights = jnp.stack([1.0 - s1, s1 - s2, s2 - s3, s3])  # (4, N)
+    return offsets, weights
+
+
+def _exact_level_rows_simplex(table, l, cell, frac, stride, use_dense,
+                              config):
+    """4-corner tetrahedral interpolation of one level (rows layout)."""
+    offsets, weights = _simplex_corners(frac[:, l])
+    acc = jnp.zeros((cell.shape[-1], config.n_features), table.dtype)
+    for ci in range(4):
+        idx = _corner_index(cell[:, l],
+                            (offsets[ci, 0], offsets[ci, 1], offsets[ci, 2]),
+                            stride[l], use_dense[l], config.table_size)
+        acc = acc + jnp.take(table[l], idx, axis=0) \
+            * weights[ci].astype(table.dtype)[:, None]
+    return acc
+
+
+def _encode_rows_simplex(table, x, config):
+    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    return jnp.concatenate([
+        _exact_level_rows_simplex(table, l, cell, frac, stride, use_dense,
+                                  config) for l in range(config.n_levels)
+    ], axis=-1)
+
+
+def _encode_stochastic_simplex(table, x, config, key, n_samples,
+                               exact_levels=0):
+    """Sampled-corner tetrahedral gathers; E[output] == simplex interp.
+
+    Each draw picks one of the 4 tetrahedron corners by inverse CDF over
+    the barycentric weights (gathered row has weight 1, so the estimator
+    is exactly unbiased); antithetic pairs (u, 1-u) land on opposite
+    tails of the CDF for negative correlation. Fewer atoms with more
+    concentrated weights than the 8-corner trilinear draw -> lower
+    variance at the same number of gathered rows.
+    """
+    n = x.shape[0]
+    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    n_levels = config.n_levels
+    n_exact = min(max(exact_levels, 0), n_levels)
+
+    n_pairs, odd = divmod(n_samples, 2)
+    keys = jax.random.split(key, max(n_pairs + odd, 1))
+    us = [jax.random.uniform(keys[s], (n_levels, n))
+          for s in range(n_pairs + odd)]
+
+    outs = []
+    for l in range(n_levels):
+        if l >= n_levels - n_exact:
+            outs.append(_exact_level_rows_simplex(table, l, cell, frac,
+                                                  stride, use_dense, config))
+            continue
+        offsets, weights = _simplex_corners(frac[:, l])
+        cum = jnp.cumsum(weights[:3], axis=0)  # (3, N)
+
+        def one(u_l):
+            r = (u_l[None, :] > cum).sum(axis=0)  # (N,) in [0, 3]
+            off = jnp.where(
+                r[None, :] == 0, offsets[0],
+                jnp.where(r[None, :] == 1, offsets[1],
+                          jnp.where(r[None, :] == 2, offsets[2],
+                                    offsets[3])))  # (3, N)
+            idx = _corner_index(cell[:, l], (off[0], off[1], off[2]),
+                                stride[l], use_dense[l], config.table_size)
+            return jnp.take(table[l], idx, axis=0)
+
+        acc = None
+        for s in range(n_pairs):
+            pair = one(us[s][l]) + one(1.0 - us[s][l])
+            acc = pair if acc is None else acc + pair
+        if odd:
+            single = one(us[-1][l])
+            acc = single if acc is None else acc + single
+        outs.append(acc / n_samples if n_samples > 1 else acc)
     return jnp.concatenate(outs, axis=-1)
 
 

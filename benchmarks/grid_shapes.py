@@ -33,6 +33,12 @@ def main():
     parser.add_argument('--corners', type=int, nargs='*', default=[2, 0])
     parser.add_argument('--grids', type=str, nargs='*', default=None,
                         help='Subset of layout names to time.')
+    parser.add_argument('--interp', type=str, nargs='*',
+                        default=['trilinear'],
+                        choices=['trilinear', 'simplex'],
+                        help='Hash-grid interpolants to time (simplex = '
+                        '4 tetrahedral corners, half the gather/scatter '
+                        'rows of trilinear).')
     flags = parser.parse_args()
 
     import jax
@@ -71,12 +77,13 @@ def main():
 
     if flags.grids:
         grids = {k: v for k, v in grids.items() if k in flags.grids}
-    for name, grid in grids.items():
+    for (name, grid), interp in ((g, i) for g in grids.items()
+                                 for i in flags.interp):
         field = Field(
             FieldConfig(encoding='hg+freq', hidden_dim=128,
                         hidden_dim_color=128, hidden_dim_semantic=64,
                         semantic_classes=6, bound=2.0, grid=grid,
-                        proposal=True))
+                        proposal=True, grid_interp=interp))
         params = field.init(jax.random.PRNGKey(0))
         tx = make_optimizer(params, lr=5e-3, iters=10000)
         opt_state = tx.init(params)
@@ -116,6 +123,7 @@ def main():
             ms = (time.perf_counter() - start) / ITERS * 1000
             print(json.dumps({
                 'grid': name,
+                'interp': interp,
                 'corners': corners,
                 'ms_per_step': round(ms, 1),
                 'rays_per_sec': round(batch_n / ms * 1000, 0),

@@ -181,3 +181,166 @@ def test_stochastic_exact_levels_unbiased_and_exact_on_fine():
                 hashgrid_encode(table, x, cfg, key=jax.random.PRNGKey(i),
                                 n_samples=1, exact_levels=1))
         np.testing.assert_allclose(acc / n_draws, exact, atol=8e-6)
+
+
+SIMPLEX_CFG = HashGridConfig(n_levels=2,
+                             n_features=8,
+                             log2_hashmap_size=8,
+                             base_resolution=4,
+                             per_level_scale=2.0)
+
+
+def test_simplex_corners_partition_of_unity():
+    from autolabel_tpu.ops.encoders import _simplex_corners
+    frac = jax.random.uniform(jax.random.PRNGKey(21), (3, 64))
+    offsets, weights = _simplex_corners(frac)
+    w = np.asarray(weights)
+    assert (w >= -1e-7).all()
+    np.testing.assert_allclose(w.sum(axis=0), 1.0, atol=1e-6)
+    # Offsets form a monotone lattice path 0 -> (1,1,1) wherever the
+    # corresponding weights are nonzero.
+    o = np.asarray(offsets)
+    nonzero = w > 1e-6
+    for i in range(3):
+        step = o[i + 1] - o[i]  # (3, N)
+        mask = nonzero[i + 1]
+        assert (step[:, mask] >= 0).all()
+
+
+def test_simplex_exact_on_vertices_and_linear_on_diagonal():
+    """Tetrahedral interpolation agrees with trilinear on cell vertices;
+    along the main diagonal (all fractions equal) it is the straight
+    lerp between the two diagonal corners (trilinear is cubic there —
+    the interpolants legitimately differ off vertices/edges)."""
+    cfg = HashGridConfig(n_levels=1,
+                         n_features=8,
+                         log2_hashmap_size=10,
+                         base_resolution=4,
+                         per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(22), cfg)
+    # Vertex (1, 2, 3) of the level-0 grid (res 4 -> dense stride 5).
+    x = jnp.array([[1 / 4, 2 / 4, 3 / 4]])
+    out = hashgrid_encode(table, x, cfg, interp='simplex')
+    idx = 1 + 5 * (2 + 5 * 3)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(table[0, idx]),
+                               atol=1e-6)
+    # Main diagonal of cell (1, 2, 3): frac (t, t, t) -> (1-t) * c_000 +
+    # t * c_111.
+    c000 = np.asarray(table[0, idx])
+    c111 = np.asarray(table[0, 2 + 5 * (3 + 5 * 4)])
+    for t in (0.25, 0.5, 0.75):
+        x = jnp.array([[(1 + t) / 4, (2 + t) / 4, (3 + t) / 4]])
+        sim = hashgrid_encode(table, x, cfg, interp='simplex')
+        np.testing.assert_allclose(np.asarray(sim[0]),
+                                   (1 - t) * c000 + t * c111, atol=1e-6)
+
+
+def test_simplex_matches_trilinear_on_edges():
+    """Along cell edges (two fractions zero) both interpolants are the
+    same 1D lerp."""
+    cfg = HashGridConfig(n_levels=1,
+                         n_features=8,
+                         log2_hashmap_size=10,
+                         base_resolution=4,
+                         per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(23), cfg)
+    for axis in range(3):
+        base = np.array([1.0, 2.0, 3.0])
+        for t in (0.2, 0.7):
+            p = base.copy()
+            p[axis] += t
+            x = jnp.asarray(p[None] / 4)
+            tri = hashgrid_encode(table, x, cfg)
+            sim = hashgrid_encode(table, x, cfg, interp='simplex')
+            np.testing.assert_allclose(np.asarray(sim), np.asarray(tri),
+                                       atol=1e-6)
+
+
+def test_simplex_continuity():
+    """C0 across tetrahedron and cell boundaries: nearby points give
+    nearby encodings (including across frac-ordering switches)."""
+    cfg = SIMPLEX_CFG
+    table = hashgrid_init(jax.random.PRNGKey(24), cfg)
+    rng = np.random.default_rng(25)
+    # Points near tetrahedron boundaries: two coords equal, and near cell
+    # faces: one coord integral.
+    for _ in range(20):
+        base = rng.uniform(0.05, 0.95, 3)
+        i, j = rng.choice(3, 2, replace=False)
+        base[j] = base[i]  # on a tetra boundary
+        eps = 1e-5
+        delta = rng.normal(size=3) * eps
+        a = jnp.asarray(np.clip(base, 0, 1)[None])
+        b = jnp.asarray(np.clip(base + delta, 0, 1)[None])
+        ea = np.asarray(hashgrid_encode(table, a, cfg, interp='simplex'))
+        eb = np.asarray(hashgrid_encode(table, b, cfg, interp='simplex'))
+        # Features are U(-1e-4, 1e-4) and cells are ~1/32 wide: an O(eps)
+        # move can change the encoding by O(eps * res * feat) only.
+        assert np.abs(ea - eb).max() < 1e-6
+
+
+def test_stochastic_simplex_unbiased():
+    """Mean of stochastic simplex draws converges to the exact
+    tetrahedral interpolation."""
+    cfg = SIMPLEX_CFG
+    table = hashgrid_init(jax.random.PRNGKey(26), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(27), (16, 3))
+    exact = np.asarray(hashgrid_encode(table, x, cfg, interp='simplex'))
+
+    n_draws = 4000
+    acc = np.zeros_like(exact)
+    for i in range(n_draws):
+        k = jax.random.PRNGKey(3000 + i)
+        acc += np.asarray(hashgrid_encode(table, x, cfg, key=k,
+                                          interp='simplex'))
+    np.testing.assert_allclose(acc / n_draws, exact, atol=6e-6)
+
+
+def test_stochastic_simplex_rows_are_table_rows():
+    cfg = HashGridConfig(n_levels=1,
+                         n_features=8,
+                         log2_hashmap_size=8,
+                         base_resolution=4,
+                         per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(28), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(29), (32, 3))
+    out = np.asarray(hashgrid_encode(table, x, cfg,
+                                     key=jax.random.PRNGKey(30),
+                                     interp='simplex'))
+    rows = np.asarray(table[0])
+    for row in out:
+        dists = np.abs(rows - row[None]).max(axis=1)
+        assert dists.min() < 1e-7
+
+
+def test_stochastic_simplex_exact_levels():
+    cfg = HashGridConfig(n_levels=3,
+                         n_features=8,
+                         log2_hashmap_size=8,
+                         base_resolution=4,
+                         per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(31), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(32), (8, 3))
+    exact = np.asarray(hashgrid_encode(table, x, cfg, interp='simplex'))
+    fine = slice((cfg.n_levels - 1) * cfg.n_features, None)
+    out = np.asarray(hashgrid_encode(table, x, cfg,
+                                     key=jax.random.PRNGKey(33),
+                                     n_samples=2, exact_levels=1,
+                                     interp='simplex'))
+    np.testing.assert_allclose(out[:, fine], exact[:, fine], atol=1e-7)
+
+
+def test_simplex_grad_flows_to_table():
+    cfg = SIMPLEX_CFG
+    table = hashgrid_init(jax.random.PRNGKey(34), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(35), (16, 3))
+
+    def loss(t):
+        return hashgrid_encode(t, x, cfg, interp='simplex').sum()
+
+    g = jax.grad(loss)(table)
+    assert g.shape == table.shape
+    # 4 corners per (point, level), weights summing to 1 per level.
+    np.testing.assert_allclose(float(g.sum()),
+                               16 * cfg.n_levels * cfg.n_features,
+                               rtol=1e-4)
