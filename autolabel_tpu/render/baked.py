@@ -180,6 +180,112 @@ def _splat_render(points, rgb, semantic, valid, intrinsics, T_CW, height,
     return image, depth, classes
 
 
+class IncrementalBaker:
+    """Amortized re-bake: update one slab of the volume at a time.
+
+    A full bake() sweeps resolution^3 density queries — seconds of
+    stall when run inside the interactive message pump (the round-2
+    preview's periodic cliff). This splits the volume into `n_blocks`
+    slabs along x, each owning max_points // n_blocks splat rows
+    (top-alpha WITHIN the slab instead of globally — indistinguishable
+    at preview budgets), so one update_next_block() call costs
+    ~1/n_blocks of a full bake and the interactive loop interleaves
+    slab refreshes between train steps without ever freezing.
+
+    Reference cadence being replaced: full re-render every 5 s
+    (scripts/gui.py:20,175-182); round-2 behavior being replaced:
+    synchronous full re-bake every rebake_every steps (backend.py).
+    """
+
+    def __init__(self, field, resolution=128, max_points=2 ** 18,
+                 n_blocks=16, chunk=65536):
+        assert resolution % n_blocks == 0
+        self.field = field
+        self.resolution = resolution
+        self.n_blocks = n_blocks
+        self.chunk = chunk
+        self.points_per_block = max_points // n_blocks
+        self.max_points = self.points_per_block * n_blocks
+
+        bound = field.config.bound
+        r = resolution
+        self.cell = 2.0 * bound / r
+        centers = np.linspace(-bound + self.cell / 2, bound - self.cell / 2,
+                              r, dtype=np.float32)
+        self._centers = centers
+        self._rows_per_block = r // n_blocks
+
+        self._points = np.zeros((self.max_points, 3), np.float32)
+        self._rgb = np.zeros((self.max_points, 3), np.float32)
+        self._semantic = np.zeros(self.max_points, np.int32)
+        self._valid = np.zeros(self.max_points, bool)
+        self._next_block = 0
+        self._density_fn = jax.jit(lambda p, x: field.density(p, x)[0])
+        self._shade_fn = jax.jit(self._shade)
+
+    def _shade(self, p, x):
+        _, geo = self.field.density(p, x)
+        view = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape)
+        rgb = self.field.color(p, view, geo)
+        logits, _ = self.field.semantic(p, geo)
+        return rgb, jnp.argmax(logits, axis=-1)
+
+    def update_block(self, params, block):
+        """Re-evaluate slab `block` and refresh its splat rows."""
+        r = self.resolution
+        rows = slice(block * self._rows_per_block,
+                     (block + 1) * self._rows_per_block)
+        grid = np.stack(np.meshgrid(self._centers[rows], self._centers,
+                                    self._centers, indexing='ij'),
+                        axis=-1).reshape(-1, 3)
+        sigmas = np.empty(grid.shape[0], np.float32)
+        for start in range(0, grid.shape[0], self.chunk):
+            sl = slice(start, start + self.chunk)
+            sigmas[sl] = np.asarray(
+                self._density_fn(params, jnp.asarray(grid[sl])))
+        alpha = 1.0 - np.exp(-sigmas * self.cell)
+        threshold = max(0.5 * np.percentile(alpha, 99.9), 0.01)
+        candidates = np.flatnonzero(alpha > threshold)
+        if candidates.size > self.points_per_block:
+            order = np.argsort(alpha[candidates])[::-1]
+            candidates = candidates[order[:self.points_per_block]]
+        n = candidates.size
+
+        out = slice(block * self.points_per_block,
+                    block * self.points_per_block + self.points_per_block)
+        self._points[out] = 0.0
+        self._valid[out] = False
+        if n:
+            pts = grid[candidates]
+            self._points[out.start:out.start + n] = pts
+            for start in range(0, n, self.chunk):
+                sl = slice(start, min(start + self.chunk, n))
+                c, s = self._shade_fn(params, jnp.asarray(pts[sl]))
+                self._rgb[out.start + sl.start:out.start + sl.stop] = \
+                    np.asarray(c)
+                self._semantic[out.start + sl.start:out.start + sl.stop] = \
+                    np.asarray(s)
+            self._valid[out.start:out.start + n] = True
+
+    def update_next_block(self, params):
+        """Refresh the next slab in rotation; returns the block index."""
+        block = self._next_block
+        self.update_block(params, block)
+        self._next_block = (block + 1) % self.n_blocks
+        return block
+
+    def update_all(self, params):
+        for block in range(self.n_blocks):
+            self.update_block(params, block)
+
+    def scene(self):
+        return BakedScene(points=jnp.asarray(self._points),
+                          rgb=jnp.asarray(self._rgb),
+                          semantic=jnp.asarray(self._semantic),
+                          valid=jnp.asarray(self._valid),
+                          cell_size=self.cell)
+
+
 class BakedRenderer:
     """Renders preview frames from a BakedScene at any resolution."""
 

@@ -2,10 +2,15 @@
 
 Builds the flagship field (TPU grid preset), bakes it into the
 fixed-size splat cloud, and times BakedRenderer at 1280x720 with a
-moving camera (fetch-fenced, like bench.py). Prints one JSON line.
+moving camera (fetch-fenced, like bench.py). Also times the
+steady-state INCREMENTAL refresh (IncrementalBaker.update_next_block)
+at the exact configuration the GUI backend runs (resolution 128,
+2^18 splats, 16 slabs — backend.py), so the interactive story is
+benchmarked as wired: per-frame render cost + per-slab refresh cost.
+Prints one JSON line.
 
-Usage: python benchmarks/preview_fps.py [--resolution 192]
-       [--max-points 19] [--frames 30] [--size 1280 720]
+Usage: python benchmarks/preview_fps.py [--resolution 128]
+       [--max-points 18] [--frames 30] [--size 1280 720]
 """
 import argparse
 import json
@@ -32,8 +37,8 @@ def look_at(position, target):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--resolution', type=int, default=192)
-    parser.add_argument('--max-points', type=int, default=19,
+    parser.add_argument('--resolution', type=int, default=128)
+    parser.add_argument('--max-points', type=int, default=18,
                         help='log2 of the splat budget')
     parser.add_argument('--frames', type=int, default=30)
     parser.add_argument('--size', type=int, nargs=2, default=(1280, 720))
@@ -43,7 +48,8 @@ def main():
 
     from autolabel_tpu.models.field import Field, FieldConfig
     from autolabel_tpu.ops.encoders import TPU_GRID
-    from autolabel_tpu.render.baked import BakedRenderer, bake
+    from autolabel_tpu.render.baked import (BakedRenderer,
+                                            IncrementalBaker, bake)
 
     field = Field(
         FieldConfig(encoding='hg+freq', hidden_dim=128,
@@ -83,6 +89,17 @@ def main():
     elapsed = time.perf_counter() - start
 
     fps = flags.frames / elapsed
+
+    # Steady-state incremental refresh at the backend's exact config.
+    baker = IncrementalBaker(field, resolution=flags.resolution,
+                             max_points=2 ** flags.max_points)
+    baker.update_next_block(params)  # compile
+    n_blocks = 4
+    block_start = time.perf_counter()
+    for _ in range(n_blocks):
+        baker.update_next_block(params)
+    block_s = (time.perf_counter() - block_start) / n_blocks
+
     print(json.dumps({
         'metric': 'preview_fps_720p',
         'value': round(fps, 2),
@@ -91,6 +108,8 @@ def main():
         'splats': int(baked.n_valid),
         'bake_s': round(bake_s, 1),
         'ms_per_frame': round(elapsed / flags.frames * 1000, 2),
+        'block_refresh_s': round(block_s, 2),
+        'full_refresh_s': round(block_s * baker.n_blocks, 1),
     }))
 
 

@@ -101,3 +101,51 @@ def test_baked_render_is_static_shape(trained):
         out = renderer.render(K, np.linalg.inv(convert_pose(T_CW_file)),
                               (w, h))
         assert np.asarray(out['image']).shape == (h, w, 3)
+
+
+def test_incremental_baker_matches_full_bake(trained):
+    """Slab-rotating incremental bake covers the same surface as a full
+    bake: after update_all the rendered depth agrees, each slab's splats
+    stay inside its x-range, and update_next_block rotates."""
+    import os
+
+    from autolabel_tpu.core.rays import convert_pose
+    from autolabel_tpu.render.baked import IncrementalBaker
+
+    field, params, dataset = trained
+    baker = IncrementalBaker(field, resolution=96, max_points=2 ** 15,
+                             n_blocks=8)
+    baker.update_all(params)
+    scene = baker.scene()
+    assert scene.n_valid > 0
+
+    # Each block's valid splats lie inside that slab's x-range.
+    pts = np.asarray(scene.points)
+    valid = np.asarray(scene.valid)
+    bound = field.config.bound
+    slab_w = 2 * bound / baker.n_blocks
+    ppb = baker.points_per_block
+    for b in range(baker.n_blocks):
+        rows = slice(b * ppb, (b + 1) * ppb)
+        m = valid[rows]
+        if m.any():
+            x = pts[rows][m, 0]
+            assert (x >= -bound + b * slab_w - 1e-5).all()
+            assert (x <= -bound + (b + 1) * slab_w + 1e-5).all()
+
+    # Rendered depth agrees with the monolithic bake.
+    full = bake(field, params, resolution=96, max_points=2 ** 15)
+    K = dataset.scene.camera.camera_matrix
+    w, h = dataset.scene.camera.size
+    T_CW_file = np.loadtxt(os.path.join(dataset.scene.path, 'pose', '0.txt'))
+    T_CW = np.linalg.inv(convert_pose(T_CW_file))
+    d_inc = np.asarray(BakedRenderer(scene).render(K, T_CW, (w, h))['depth'])
+    d_full = np.asarray(BakedRenderer(full).render(K, T_CW, (w, h))['depth'])
+    both = (d_inc > 0) & (d_full > 0)
+    assert both.sum() > 50
+    assert np.median(np.abs(d_inc[both] - d_full[both])) < 0.1
+
+    # Rotation: n_blocks updates come back to block 0.
+    order = [baker.update_next_block(params) for _ in range(baker.n_blocks)]
+    assert order == list(range(baker.n_blocks))
+    assert baker._next_block == 0
