@@ -47,6 +47,10 @@ def main():
                         help='Finest grid levels interpolated exactly '
                         'during the stochastic phase.')
     parser.add_argument('--exact-final-fraction', type=float, default=0.1)
+    parser.add_argument('--interp', default='trilinear',
+                        choices=['trilinear', 'simplex'],
+                        help='Hash-grid interpolant (model-level; eval '
+                        'uses the same interpolant, exactly).')
     flags = parser.parse_args()
 
     from autolabel_tpu import model_utils
@@ -68,7 +72,7 @@ def main():
         FieldConfig(encoding='hg+freq', hidden_dim=128,
                     hidden_dim_color=128, hidden_dim_semantic=64,
                     semantic_classes=n_classes, bound=bound, grid=grid,
-                    proposal=True))
+                    proposal=True, grid_interp=flags.interp))
     occupancy = None
     if flags.occupancy:
         from autolabel_tpu.render.occupancy import (OccupancyGrid,
@@ -124,6 +128,7 @@ def main():
     print(json.dumps({
         'scene': os.path.basename(os.path.normpath(flags.scene)),
         'grid': flags.grid,
+        'interp': flags.interp,
         'corners': flags.corners,
         'occupancy': flags.occupancy,
         'exact_levels': flags.exact_levels,

@@ -1,9 +1,10 @@
 """Stray Scanner capture -> autolabel raw scene (raw_rgb/ raw_depth/
 intrinsics.txt).
 
-Decodes rgb.mp4, masks low-confidence depth, optionally rotates portrait
-captures. CLI parity: reference scripts/convert_scanner.py (skvideo
-replaced by cv2.VideoCapture).
+Decodes rgb.mp4, masks low-confidence LiDAR depth, optionally rotates
+portrait captures. Same CLI and on-disk contract as the reference
+scripts/convert_scanner.py; structured as a ScannerCapture reader whose
+frame streams are piped through one shared subsample/rotate/write loop.
 """
 import argparse
 import os
@@ -11,6 +12,8 @@ import os
 import cv2
 import numpy as np
 from tqdm import tqdm
+
+MIN_CONFIDENCE = 2  # LiDAR returns below this are dropped entirely
 
 
 def read_args():
@@ -27,74 +30,87 @@ def read_args():
     return parser.parse_args()
 
 
-def write_frames(scan_dir, rgb_out_dir, rotate=False, subsample=1):
-    video = cv2.VideoCapture(os.path.join(scan_dir, 'rgb.mp4'))
-    img_idx = 0
-    i = 0
-    bar = tqdm(desc="Writing RGB")
-    while True:
-        ok, frame = video.read()  # BGR already
-        if not ok:
-            break
-        if i % subsample == 0:
-            if rotate:
-                frame = cv2.rotate(frame, cv2.ROTATE_90_CLOCKWISE)
-            cv2.imwrite(os.path.join(rgb_out_dir, f"{img_idx:05}.jpg"),
-                        frame, [int(cv2.IMWRITE_JPEG_QUALITY), 90])
-            img_idx += 1
-        i += 1
-        bar.update()
-    video.release()
+class ScannerCapture:
+    """Streams of a Stray Scanner capture directory."""
+
+    def __init__(self, scan_dir):
+        self.scan_dir = scan_dir
+
+    @property
+    def intrinsics(self):
+        return np.loadtxt(os.path.join(self.scan_dir, 'camera_matrix.csv'),
+                          delimiter=',')
+
+    def rgb_frames(self):
+        video = cv2.VideoCapture(os.path.join(self.scan_dir, 'rgb.mp4'))
+        try:
+            while True:
+                ok, frame = video.read()  # BGR already
+                if not ok:
+                    return
+                yield frame
+        finally:
+            video.release()
+
+    def depth_frames(self):
+        """Confidence-masked depth frames, in numeric order."""
+        depth_dir = os.path.join(self.scan_dir, 'depth')
+        names = sorted(n for n in os.listdir(depth_dir) if '.png' in n)
+        for name in names:
+            stem = name.split('.')[0]
+            depth = cv2.imread(os.path.join(depth_dir, name), -1)
+            confidence = cv2.imread(
+                os.path.join(self.scan_dir, 'confidence',
+                             stem + '.png'))[:, :, 0]
+            depth = depth.copy()
+            depth[confidence < MIN_CONFIDENCE] = 0
+            yield depth
 
 
-def write_depth(scan_dir, depth_out_dir, rotate=False, subsample=1):
-    depth_dir_in = os.path.join(scan_dir, 'depth')
-    confidence_dir = os.path.join(scan_dir, 'confidence')
-    files = sorted(os.listdir(depth_dir_in))
-    img_idx = 0
-    for i, filename in tqdm(enumerate(files), desc="Writing Depth"):
-        if '.png' not in filename:
+def rotated_intrinsics(K):
+    """Camera matrix after a 90-degree clockwise image rotation."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return np.array([[fy, 0, cy], [0, fx, cx], [0, 0, 1.0]])
+
+
+def write_stream(frames, out_dir, ext, desc, rotate=False, subsample=1,
+                 imwrite_params=()):
+    """Subsample, optionally rotate, and write a frame stream with
+    contiguous 5-digit names."""
+    out_index = 0
+    for i, frame in enumerate(tqdm(frames, desc=desc)):
+        if i % subsample:
             continue
-        if i % subsample != 0:
-            continue
-        number = filename.split('.')[0]
-        depth = cv2.imread(os.path.join(depth_dir_in, filename), -1)
-        confidence = cv2.imread(
-            os.path.join(confidence_dir, number + '.png'))[:, :, 0]
         if rotate:
-            depth = cv2.rotate(depth, cv2.ROTATE_90_CLOCKWISE)
-            confidence = cv2.rotate(confidence, cv2.ROTATE_90_CLOCKWISE)
-        # Low-confidence LiDAR returns are dropped entirely.
-        depth[confidence < 2] = 0
-        cv2.imwrite(os.path.join(depth_out_dir, f"{img_idx:05}.png"), depth)
-        img_idx += 1
-    return img_idx
+            frame = cv2.rotate(frame, cv2.ROTATE_90_CLOCKWISE)
+        cv2.imwrite(os.path.join(out_dir, f"{out_index:05}{ext}"), frame,
+                    list(imwrite_params))
+        out_index += 1
+    return out_index
 
 
-def write_intrinsics(scan_dir, out_dir, rotate=False):
-    intrinsics = np.loadtxt(os.path.join(scan_dir, 'camera_matrix.csv'),
-                            delimiter=',')
-    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
-    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
-    if rotate:
-        out_intrinsics = np.array([[fy, 0, cy], [0, fx, cx], [0, 0, 1]])
-    else:
-        out_intrinsics = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
-    np.savetxt(os.path.join(out_dir, 'intrinsics.txt'), out_intrinsics)
+def convert(scan_dir, out_dir, rotate=False, subsample=1):
+    capture = ScannerCapture(scan_dir)
+    rgb_out = os.path.join(out_dir, 'raw_rgb')
+    depth_out = os.path.join(out_dir, 'raw_depth')
+    os.makedirs(rgb_out, exist_ok=True)
+    os.makedirs(depth_out, exist_ok=True)
+
+    K = capture.intrinsics
+    np.savetxt(os.path.join(out_dir, 'intrinsics.txt'),
+               rotated_intrinsics(K) if rotate else K)
+    write_stream(capture.depth_frames(), depth_out, '.png', 'Writing Depth',
+                 rotate=rotate, subsample=subsample)
+    write_stream(capture.rgb_frames(), rgb_out, '.jpg', 'Writing RGB',
+                 rotate=rotate, subsample=subsample,
+                 imwrite_params=(int(cv2.IMWRITE_JPEG_QUALITY), 90))
 
 
 def main():
     flags = read_args()
-    rgb_out = os.path.join(flags.out, 'raw_rgb')
-    depth_out = os.path.join(flags.out, 'raw_depth')
-    os.makedirs(rgb_out, exist_ok=True)
-    os.makedirs(depth_out, exist_ok=True)
-
-    write_intrinsics(flags.scan, flags.out, rotate=flags.rotate)
-    write_depth(flags.scan, depth_out, rotate=flags.rotate,
-                subsample=flags.subsample)
-    write_frames(flags.scan, rgb_out, rotate=flags.rotate,
-                 subsample=flags.subsample)
+    convert(flags.scan, flags.out, rotate=flags.rotate,
+            subsample=flags.subsample)
     print("Done")
 
 

@@ -26,7 +26,6 @@ import rospy
 import tf
 from cv_bridge import CvBridge
 from geometry_msgs.msg import PoseStamped
-from scipy.spatial.transform import Rotation
 from sensor_msgs.msg import CameraInfo, Image
 from std_msgs.msg import String
 from std_srvs.srv import Empty
@@ -68,19 +67,6 @@ def read_args():
         help="The size of bounding volume of the scene. Range will be from "
         "-bound to bound in x, y and z.")
     return parser.parse_args()
-
-
-def to_pose(pose_stamped):
-    T_WC = np.eye(4)
-    T_WC[:3, :3] = Rotation.from_quat([
-        pose_stamped.pose.orientation.x, pose_stamped.pose.orientation.y,
-        pose_stamped.pose.orientation.z, pose_stamped.pose.orientation.w
-    ]).as_matrix()
-    T_WC[:3, 3] = [
-        pose_stamped.pose.position.x, pose_stamped.pose.position.y,
-        pose_stamped.pose.position.z
-    ]
-    return np.linalg.inv(T_WC)
 
 
 class Frame:
@@ -252,37 +238,45 @@ class TrainingLoop:
 
 
 class AutolabelNode:
+    """Wires the SLAM topics into the training loop.
+
+    Stream synchronization lives in ros_utils.SynchronizedStreams (the
+    rgb/depth/keyframe triple-match, testable without rospy); this class
+    only subscribes, converts and forwards.
+    """
+
+    SYNC_THRESHOLD = 1.0 / 60.0
 
     def __init__(self, flags):
         self.reading = True
         self.bridge = Bridge(flags.features, flags.checkpoint,
                              allow_fallback=flags.allow_fallback)
-        self.sync_threshold = 1.0 / 60.0
         self.training_loop = TrainingLoop(self.bridge, flags.bound)
-        self.image_sub = rospy.Subscriber('/slam/rgb', Image,
-                                          self.image_callback, queue_size=20)
-        self.depth_sub = rospy.Subscriber('/slam/depth', Image,
-                                          self.depth_callback, queue_size=20)
-        self.odometry_sub = rospy.Subscriber('/slam/odometry', PoseStamped,
-                                             self.odometry_callback)
-        self.keyframe_sub = rospy.Subscriber('/slam/keyframe', PoseStamped,
-                                             self.keyframe_callback,
-                                             queue_size=20)
+        self.streams = ros_utils.SynchronizedStreams(
+            ('rgb', 'depth', 'pose'), self.SYNC_THRESHOLD, max_size=10)
+        self.subscribers = {
+            name: rospy.Subscriber(f'/slam/{topic}', Image,
+                                   self._stream_callback(name),
+                                   queue_size=20)
+            for name, topic in (('rgb', 'rgb'), ('depth', 'depth'))
+        }
+        self.subscribers['pose'] = rospy.Subscriber(
+            '/slam/keyframe', PoseStamped, self._stream_callback('pose'),
+            queue_size=20)
+        self.odometry_sub = rospy.Subscriber(
+            '/slam/odometry', PoseStamped, lambda msg: setattr(
+                self.training_loop, 'odometry_pose',
+                ros_utils.pose_matrix(msg)))
         self.camera_info_sub = rospy.Subscriber('/slam/camera_info',
                                                 CameraInfo,
                                                 self.camera_info_callback)
-        self.prompt_sub = rospy.Subscriber('/autolabel/segmentation_classes',
-                                           String, self.prompt_callback)
-        self.rgb_buffer = ros_utils.MessageBuffer(self.sync_threshold,
-                                                  max_size=10)
-        self.depth_buffer = ros_utils.MessageBuffer(self.sync_threshold,
-                                                    max_size=10)
-        self.pose_buffer = ros_utils.MessageBuffer(self.sync_threshold,
-                                                   max_size=10)
-        self.toggle_service = rospy.Service('/autolabel/train', Empty,
-                                            self.toggle_training)
-        self.read_service = rospy.Service('/autolabel/pause', Empty,
-                                          self.toggle_reading)
+        self.prompt_sub = rospy.Subscriber(
+            '/autolabel/segmentation_classes', String, lambda msg: self.
+            bridge.set_prompts(str(msg.data).split("|")))
+        self.services = [
+            rospy.Service('/autolabel/train', Empty, self.toggle_training),
+            rospy.Service('/autolabel/pause', Empty, self.toggle_reading),
+        ]
         self.debug_log = flags.log
         if self.debug_log is not None:
             for sub in ('rgb', 'depth', 'pose'):
@@ -298,45 +292,27 @@ class AutolabelNode:
         print(f"Accepting new images: {self.reading}")
         return []
 
-    def prompt_callback(self, msg):
-        self.bridge.set_prompts(str(msg.data).split("|"))
+    def _stream_callback(self, name):
 
-    def image_callback(self, msg):
-        if self.reading:
-            self.rgb_buffer.add_message(msg)
-            self._check_tuple(msg.header.stamp)
+        def callback(msg):
+            if not self.reading:
+                return
+            matched = self.streams.offer(name, msg)
+            if matched is not None:
+                self._ingest(matched)
 
-    def depth_callback(self, msg):
-        if self.reading:
-            self.depth_buffer.add_message(msg)
-            self._check_tuple(msg.header.stamp)
+        return callback
 
-    def keyframe_callback(self, msg):
-        if self.reading:
-            self.pose_buffer.add_message(msg)
-            self._check_tuple(msg.header.stamp)
-
-    def _check_tuple(self, stamp):
-        rgb_message = self.rgb_buffer.closest(stamp)
-        if rgb_message is None:
-            return
-        depth_message = self.depth_buffer.closest(stamp)
-        if depth_message is None:
-            return
-        pose_message = self.pose_buffer.closest(stamp)
-        if pose_message is None:
-            return
-        self.image_tuple(rgb_message, depth_message, pose_message)
-
-    def image_tuple(self, image_msg, depth_msg, pose_msg):
+    def _ingest(self, matched):
+        image_msg, depth_msg = matched['rgb'], matched['depth']
         if np.abs(depth_msg.header.stamp.to_sec() -
-                  image_msg.header.stamp.to_sec()) > self.sync_threshold:
+                  image_msg.header.stamp.to_sec()) > self.SYNC_THRESHOLD:
             print("WARNING depth and rgb might not be synchronized")
-        T_CW = to_pose(pose_msg)
         image = self.bridge.color_to_array(image_msg)
-        depth = self.bridge.depth_to_array(depth_msg)
-        features = self.bridge.features(image)
-        frame = Frame(image_msg.header.seq, T_CW, image, depth, features)
+        frame = Frame(image_msg.header.seq,
+                      ros_utils.pose_matrix(matched['pose']), image,
+                      self.bridge.depth_to_array(depth_msg),
+                      self.bridge.features(image))
         self.training_loop.add_frame(frame)
         if self.debug_log is not None:
             self._debug_log_frame(frame)
@@ -349,9 +325,6 @@ class AutolabelNode:
                     frame.depth)
         np.savetxt(os.path.join(self.debug_log, 'pose', f"{filename}.txt"),
                    frame.T_CW)
-
-    def odometry_callback(self, msg):
-        self.training_loop.odometry_pose = to_pose(msg)
 
     def camera_info_callback(self, msg):
         self.training_loop.set_camera(msg)

@@ -105,14 +105,16 @@ def test_message_buffer_matching():
 
 def test_backend_baked_preview(sphere_scene, tmp_path):
     """--baked-preview serves get_image from the splat cache with the
-    same payload contract, and re-bakes on the configured cadence."""
+    same payload contract; the cache refreshes INCREMENTALLY (one slab
+    per cadence tick interleaved with train steps), never a full
+    re-bake inside the message pump."""
     import shutil
     scene = str(tmp_path / 'scene')
     shutil.copytree(sphere_scene, scene)
 
     class _BakedFlags(_Flags):
         baked_preview = True
-        rebake_every = 5
+        rebake_every = 16  # one slab per step (16 slabs)
 
     parent, child = multiprocessing.Pipe()
     loop = TrainingLoop(scene, _BakedFlags(), child, dataset_factor=1.0)
@@ -128,22 +130,24 @@ def test_backend_baked_preview(sphere_scene, tmp_path):
     assert payload['rgb'].shape == (36, 48, 3)
     assert payload['depth'].shape == (36, 48)
     assert payload['semantic'].shape == (36, 48)
-    first_bake_step = loop._baked_at_step
+    assert loop._baker is not None  # populated once at first request
+    first_bake_step = loop._bake_step
     assert first_bake_step is not None
 
-    # Under the rebake cadence: cache reused.
+    # Another request reuses the cache (no step progress: no refresh).
     parent.send(('get_image', 1))
     loop._check_messages()
     assert parent.recv()[1]['image_index'] == 1
-    assert loop._baked_at_step == first_bake_step
+    assert loop._bake_step == first_bake_step
 
-    # Past the cadence: re-baked.
-    for _ in range(6):
+    # Stepping past the per-slab cadence refreshes one slab at a time.
+    block_before = loop._baker._next_block
+    for _ in range(3):
         loop.trainer.take_step()
-    parent.send(('get_image', 0))
-    loop._check_messages()
-    parent.recv()
-    assert loop._baked_at_step > first_bake_step
+        loop._maybe_update_bake()
+    assert loop._bake_step > first_bake_step
+    assert loop._baker._next_block == (block_before +
+                                       3) % loop._baker.n_blocks
 
 
 def test_backend_occupancy_grid(sphere_scene, tmp_path):
@@ -163,3 +167,50 @@ def test_backend_occupancy_grid(sphere_scene, tmp_path):
     for _ in range(3):
         losses = loop.trainer.take_step()
     assert np.isfinite(float(losses['total']))
+
+
+def test_synchronized_streams_and_pose_matrix():
+    """ros_utils.SynchronizedStreams: the online node's rgb/depth/
+    keyframe triple-match, and pose_matrix's quaternion inversion —
+    both pure-python, no rospy."""
+    from autolabel_tpu.utils.ros_utils import (SynchronizedStreams,
+                                               pose_matrix)
+
+    class Stamp:
+        def __init__(self, t):
+            self.t = t
+
+        def to_sec(self):
+            return self.t
+
+    class Msg:
+        def __init__(self, t):
+            self.header = type('H', (), {'stamp': Stamp(t)})()
+
+    streams = SynchronizedStreams(('rgb', 'depth', 'pose'), 1 / 60.0,
+                                  max_size=4)
+    assert streams.offer('rgb', Msg(0.0)) is None
+    assert streams.offer('depth', Msg(0.005)) is None
+    matched = streams.offer('pose', Msg(0.01))
+    assert matched is not None
+    assert matched['rgb'].header.stamp.to_sec() == 0.0
+    # A lone far-future message does not match the stale pair.
+    assert streams.offer('rgb', Msg(10.0)) is None
+
+    class Pose:
+        class pose:
+            class position:
+                x, y, z = 1.0, 2.0, 3.0
+
+            class orientation:
+                # 90 degrees about z.
+                x, y, z, w = 0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)
+
+    T_CW = pose_matrix(Pose())
+    T_WC = np.linalg.inv(T_CW)
+    np.testing.assert_allclose(T_WC[:3, 3], [1.0, 2.0, 3.0], atol=1e-9)
+    # R_WC rotates x onto y for a +90 z rotation.
+    np.testing.assert_allclose(T_WC[:3, :3] @ [1, 0, 0], [0, 1, 0],
+                               atol=1e-9)
+    np.testing.assert_allclose(T_CW[:3, :3] @ T_CW[:3, :3].T, np.eye(3),
+                               atol=1e-9)

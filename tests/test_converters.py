@@ -150,3 +150,136 @@ def test_scene_bounds_cli(sphere_scene, monkeypatch):
     finally:
         with open(bbox_path, 'w') as f:
             f.write(original)
+
+
+def test_create_rosbag_message_streams(tmp_path):
+    """ops/maplab/create_rosbag.py without ROS: pure message builders
+    over a capture reader, merged into global timestamp order (images +
+    camera_info + imu + maplab odometry with the reference's topic and
+    field contract)."""
+    import importlib.util
+    import types
+    spec = importlib.util.spec_from_file_location(
+        'create_rosbag',
+        os.path.join(os.path.dirname(SCRIPTS), 'ops', 'maplab',
+                     'create_rosbag.py'))
+    crb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(crb)
+
+    class _Vec:
+        def __init__(self):
+            self.x = self.y = self.z = self.w = 0.0
+
+    class _Msg:
+        def __init__(self):
+            self.header = types.SimpleNamespace(stamp=None, seq=None,
+                                                frame_id=None)
+            self.pose = types.SimpleNamespace(
+                pose=types.SimpleNamespace(position=_Vec(),
+                                           orientation=_Vec()))
+            self.linear_acceleration = _Vec()
+            self.angular_velocity = _Vec()
+
+    class _Time:
+        def __init__(self, seconds):
+            self.seconds = seconds
+
+        def to_sec(self):
+            return self.seconds
+
+    class _Bridge:
+        def cv2_to_imgmsg(self, image):
+            msg = _Msg()
+            msg.image = image
+            return msg
+
+        cv2_to_compressed_imgmsg = cv2_to_imgmsg
+
+    ros = {'Time': _Time, 'CvBridge': _Bridge, 'CameraInfo': _Msg,
+           'Imu': _Msg, 'OdometryWithImuBiases': _Msg}
+
+    # odometry: timestamp, frame, xyz, qxyzw; imu interleaves between.
+    odometry = np.array([
+        [0.0, 0, 1.0, 2.0, 3.0, 0.0, 0.0, 0.0, 1.0],
+        [0.1, 1, 1.1, 2.1, 3.1, 0.0, 0.0, 0.0, 1.0],
+    ])
+    imu = np.array([
+        [0.02, 0.1, 0.2, 9.8, 0.01, 0.02, 0.03],
+        [0.07, 0.1, 0.2, 9.8, 0.01, 0.02, 0.03],
+    ])
+
+    capture = crb.StrayCapture.__new__(crb.StrayCapture)
+    capture.intrinsics = np.diag([500.0, 500.0, 1.0])
+    capture.odometry = odometry
+    capture.imu = imu
+    capture.frames = lambda: iter(
+        [(0.0, np.zeros((4, 6, 3), np.uint8)),
+         (0.1, np.zeros((4, 6, 3), np.uint8))])
+
+    messages = list(crb.build_messages(capture, ros))
+    times = [stamp.to_sec() for _, _, stamp in messages]
+    assert times == sorted(times)  # globally time-ordered bag
+    topics = [topic for topic, _, _ in messages]
+    assert topics.count('/rgb/image_raw') == 2
+    assert topics.count('/rgb/camera_info') == 2
+    assert topics.count('/imu') == 2
+    assert topics.count('/pose') == 2
+
+    info = next(m for t, m, _ in messages if t == '/rgb/camera_info')
+    assert (info.height, info.width) == (4, 6)
+    assert info.K[0] == 500.0 and info.distortion_model == 'plumb_bob'
+    imu_msg = next(m for t, m, _ in messages if t == '/imu')
+    assert imu_msg.linear_acceleration.z == 9.8
+    assert imu_msg.angular_velocity.x == 0.01
+    pose = next(m for t, m, _ in messages if t == '/pose')
+    assert pose.pose.pose.position.x == 1.0
+    assert pose.pose.pose.orientation.w == 1.0
+    assert pose.child_frame_id == 'rgb_optical'
+
+
+def test_convert_scanner_capture(tmp_path):
+    """scripts/convert_scanner.py: video + confidence-masked depth +
+    intrinsics into the raw-scene contract, with subsample and rotate."""
+    import importlib
+    import cv2
+    scanner = importlib.import_module('convert_scanner')
+
+    scan = tmp_path / 'scan'
+    (scan / 'depth').mkdir(parents=True)
+    (scan / 'confidence').mkdir()
+    w, h = 32, 24
+    writer = cv2.VideoWriter(str(scan / 'rgb.mp4'),
+                             cv2.VideoWriter_fourcc(*'mp4v'), 30, (w, h))
+    for i in range(4):
+        frame = np.full((h, w, 3), i * 40, np.uint8)
+        writer.write(frame)
+    writer.release()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        depth = rng.integers(100, 5000, (h, w)).astype(np.uint16)
+        conf = np.full((h, w), 2, np.uint8)
+        conf[:, :8] = 1  # low-confidence stripe
+        cv2.imwrite(str(scan / 'depth' / f'{i}.png'), depth)
+        cv2.imwrite(str(scan / 'confidence' / f'{i}.png'),
+                    np.stack([conf] * 3, axis=-1))
+    K = np.array([[400.0, 0, 16], [0, 410.0, 12], [0, 0, 1]])
+    np.savetxt(scan / 'camera_matrix.csv', K, delimiter=',')
+
+    out = tmp_path / 'scene'
+    scanner.convert(str(scan), str(out), subsample=2)
+
+    assert sorted(os.listdir(out / 'raw_rgb')) == ['00000.jpg', '00001.jpg']
+    assert sorted(os.listdir(out / 'raw_depth')) == ['00000.png',
+                                                     '00001.png']
+    depth0 = cv2.imread(str(out / 'raw_depth' / '00000.png'), -1)
+    assert (depth0[:, :8] == 0).all()          # masked stripe
+    assert (depth0[:, 8:] > 0).all()
+    np.testing.assert_allclose(np.loadtxt(out / 'intrinsics.txt'), K)
+
+    # Rotation: swapped intrinsics and portrait frames.
+    out_rot = tmp_path / 'scene_rot'
+    scanner.convert(str(scan), str(out_rot), rotate=True)
+    K_rot = np.loadtxt(out_rot / 'intrinsics.txt')
+    assert K_rot[0, 0] == K[1, 1] and K_rot[1, 1] == K[0, 0]
+    assert cv2.imread(str(out_rot / 'raw_depth' / '00000.png'),
+                      -1).shape == (w, h)
