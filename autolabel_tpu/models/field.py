@@ -119,7 +119,7 @@ class Field:
     # -- encodings ---------------------------------------------------------
 
     def _grid_encode(self, table, normalized, key=None, n_samples=1,
-                     exact_levels=0):
+                     exact_levels=0, residual=False):
         c = self.config
         if (c.grid_impl == 'pallas' and key is None
                 and c.grid_interp == 'trilinear'):
@@ -129,10 +129,11 @@ class Field:
         return hashgrid_encode(table, normalized, c.grid_config, key=key,
                                n_samples=n_samples,
                                exact_levels=exact_levels,
-                               interp=c.grid_interp)
+                               interp=c.grid_interp,
+                               residual=residual)
 
     def encode(self, params: Params, x, key=None, n_samples=1,
-               exact_levels=0):
+               exact_levels=0, residual=False):
         """Positional encoding of (N, 3) points in [-bound, bound].
 
         key: optional PRNG key for stochastic-corner hash-grid gathers
@@ -146,24 +147,25 @@ class Field:
             return frequency_encode(normalized, 10)
         if c.encoding == 'hg':
             return self._grid_encode(params['encoder']['grid'], normalized,
-                                     key, n_samples, exact_levels)
+                                     key, n_samples, exact_levels, residual)
         if c.encoding == 'hg+freq':
             # Frequency part runs on the raw coordinates, grid on the
             # normalized ones (parity: autolabel/models.py:51-59).
             freq = frequency_encode(x, 2)
             grid = self._grid_encode(params['encoder']['grid'], normalized,
-                                     key, n_samples, exact_levels)
+                                     key, n_samples, exact_levels, residual)
             return jnp.concatenate([freq, grid], axis=-1)
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
     # -- heads --------------------------------------------------------------
 
     def density(self, params: Params, x, key=None, n_samples=1,
-                exact_levels=0):
+                exact_levels=0, residual=False):
         """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
         h = mlp_apply(params['sigma_net'],
                       self.encode(params, x, key=key, n_samples=n_samples,
-                                  exact_levels=exact_levels))
+                                  exact_levels=exact_levels,
+                                  residual=residual))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
 

@@ -161,9 +161,9 @@ def _grid_geometry(x, config):
 
 @functools.partial(jax.jit,
                    static_argnames=('config', 'n_samples', 'exact_levels',
-                                    'interp'))
+                                    'interp', 'residual'))
 def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
-                    interp='trilinear'):
+                    interp='trilinear', residual=False):
     """Encode (N, 3) points in [0, 1] -> (N, n_levels * n_features).
 
     Two formulations, chosen by feature width (both exact):
@@ -203,7 +203,26 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
     mode the corner is drawn from the 4-atom simplex distribution
     (inverse CDF, antithetic pairs) — same unbiasedness, lower variance
     than the 8-atom trilinear draw.
+
+    residual (n_samples == 2 only): Rao-Blackwellized two-row
+    estimator — the MAX-WEIGHT corner is taken deterministically at its
+    exact weight and one draw comes from the renormalized residual
+    distribution, so out = w_m * f_m + (1 - w_m) * f_J. Same unbiased
+    mean and the same 2 gathered rows as the antithetic pair, but the
+    stochastic mass shrinks from 1 to (1 - w_m) — measured variance is
+    well below the antithetic estimator (tests/test_encoders.py).
     """
+    if residual:
+        if n_samples != 2:
+            raise NotImplementedError(
+                "residual sampling is a 2-row estimator (n_samples=2)")
+        if config.n_features % 8 != 0:
+            raise NotImplementedError(
+                "residual sampling is implemented for the wide-row "
+                "layout only")
+        if key is not None:
+            return _encode_residual(table, x, config, key, exact_levels,
+                                    interp)
     if interp == 'simplex':
         if config.n_features % 8 != 0:
             raise NotImplementedError(
@@ -335,6 +354,62 @@ def _encode_stochastic_simplex(table, x, config, key, n_samples,
             single = one(us[-1][l])
             acc = single if acc is None else acc + single
         outs.append(acc / n_samples if n_samples > 1 else acc)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _encode_residual(table, x, config, key, exact_levels, interp):
+    """Rao-Blackwellized 2-row estimator: deterministic max-weight
+    corner + one draw from the renormalized residual distribution.
+
+    out = w_m * f_m + (1 - w_m) * f_J,  J ~ w_j / (1 - w_m) over j != m
+    E[out] equals the exact interpolation; the variance carries the
+    factor (1 - w_m)^2 (often ~0.2 on simplex weights) instead of the
+    full stochastic mass of two independent/antithetic draws.
+    """
+    n = x.shape[0]
+    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    n_levels = config.n_levels
+    n_exact = min(max(exact_levels, 0), n_levels)
+    us = jax.random.uniform(key, (n_levels, n))
+
+    def atoms(l):
+        if interp == 'simplex':
+            return _simplex_corners(frac[:, l])
+        offsets = jnp.broadcast_to(
+            jnp.asarray(_CORNERS, jnp.int32)[:, :, None], (8, 3, n))
+        weights = jnp.stack(
+            [_corner_weight(frac[:, l], c) for c in _CORNERS])
+        return offsets, weights
+
+    def gather(l, off):
+        idx = _corner_index(cell[:, l], (off[0], off[1], off[2]), stride[l],
+                            use_dense[l], config.table_size)
+        return jnp.take(table[l], idx, axis=0)
+
+    outs = []
+    for l in range(n_levels):
+        if l >= n_levels - n_exact:
+            exact = (_exact_level_rows_simplex if interp == 'simplex' else
+                     _exact_level_rows)
+            outs.append(exact(table, l, cell, frac, stride, use_dense,
+                              config))
+            continue
+        offsets, weights = atoms(l)
+        m = jnp.argmax(weights, axis=0)  # (N,)
+        w_m = jnp.take_along_axis(weights, m[None], axis=0)[0]
+        off_m = jnp.take_along_axis(offsets, m[None, None, :], axis=0)[0]
+        f_det = gather(l, off_m)
+
+        wr = jnp.where(
+            jnp.arange(weights.shape[0])[:, None] == m[None], 0.0, weights)
+        cum = jnp.cumsum(wr, axis=0) / jnp.maximum(
+            wr.sum(axis=0), 1e-12)  # (A, N), last row ~1
+        j = (us[l][None] > cum[:-1]).sum(axis=0)  # in [0, A-1], never m
+        off_j = jnp.take_along_axis(offsets, j[None, None, :], axis=0)[0]
+        f_sto = gather(l, off_j)
+
+        w = w_m.astype(table.dtype)[:, None]
+        outs.append(w * f_det + (1.0 - w) * f_sto)
     return jnp.concatenate(outs, axis=-1)
 
 

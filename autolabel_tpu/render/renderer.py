@@ -44,6 +44,12 @@ class RenderOptions:
     # grid levels exactly (they carry the detail and most of the
     # estimator variance); coarser levels stay stochastic.
     stochastic_exact_levels: int = 0
+    # Rao-Blackwellized 2-row estimator instead of the antithetic pair
+    # (requires stochastic_corners == 2): the max-weight corner enters
+    # deterministically, one draw covers the renormalized remainder —
+    # same gather rows, substantially lower estimator variance
+    # (ops/encoders.hashgrid_encode residual mode).
+    stochastic_residual: bool = False
     # With an occupancy grid, probe it along each ray and shrink
     # [near, far] to the occupied span before sampling — the TPU-shaped
     # version of torch-ngp's empty-space skipping (samples concentrate
@@ -231,7 +237,8 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
         sigma, geo = field.density(params, flat, key=enc_key,
                                    n_samples=n_corner_samples,
                                    exact_levels=options.
-                                   stochastic_exact_levels)
+                                   stochastic_exact_levels,
+                                   residual=options.stochastic_residual)
         if occupancy is not None:
             density_grid, trained_mask, threshold = occupancy
             r = density_grid.shape[0]

@@ -47,6 +47,9 @@ def main():
                         help='Finest grid levels interpolated exactly '
                         'during the stochastic phase.')
     parser.add_argument('--exact-final-fraction', type=float, default=0.1)
+    parser.add_argument('--residual', action='store_true',
+                        help='Rao-Blackwellized 2-row estimator (max-'
+                        'weight corner deterministic + residual draw).')
     parser.add_argument('--interp', default='trilinear',
                         choices=['trilinear', 'simplex'],
                         help='Hash-grid interpolant (model-level; eval '
@@ -89,7 +92,8 @@ def main():
             proposal_steps=flags.proposal_steps,
             perturb=True,
             stochastic_corners=flags.corners,
-            stochastic_exact_levels=flags.exact_levels),
+            stochastic_exact_levels=flags.exact_levels,
+            stochastic_residual=flags.residual),
         workspace=None, ema_decay=0.95,
         exact_final_fraction=flags.exact_final_fraction,
         metrics=False)
@@ -130,6 +134,7 @@ def main():
         'grid': flags.grid,
         'interp': flags.interp,
         'corners': flags.corners,
+        'residual': flags.residual,
         'occupancy': flags.occupancy,
         'exact_levels': flags.exact_levels,
         'exact_final_fraction': flags.exact_final_fraction,

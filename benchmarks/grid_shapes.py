@@ -31,6 +31,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=4096)
     parser.add_argument('--corners', type=int, nargs='*', default=[2, 0])
+    parser.add_argument('--residual', action='store_true',
+                        help='Rao-Blackwellized 2-row estimator for the '
+                        'stochastic configs.')
     parser.add_argument('--grids', type=str, nargs='*', default=None,
                         help='Subset of layout names to time.')
     parser.add_argument('--interp', type=str, nargs='*',
@@ -93,7 +96,9 @@ def main():
             options = RenderOptions(num_steps=NUM_STEPS,
                                     proposal_steps=PROPOSAL_STEPS,
                                     perturb=True,
-                                    stochastic_corners=corners)
+                                    stochastic_corners=corners,
+                                    stochastic_residual=(flags.residual and
+                                                         corners == 2))
 
             def loss_fn(p, batch, key):
                 out = render_rays(field, p, batch['rays_o'],
@@ -125,6 +130,7 @@ def main():
                 'grid': name,
                 'interp': interp,
                 'corners': corners,
+                'residual': flags.residual and corners == 2,
                 'ms_per_step': round(ms, 1),
                 'rays_per_sec': round(batch_n / ms * 1000, 0),
                 'grid_params_m': round(n_params / 1e6, 1),

@@ -104,7 +104,9 @@ def compute_size(image_path, feature):
     image = np.array(Image.open(image_path))
     H, W = image.shape[:2]
     short_side = min(H, W)
-    target_size = 242 if feature == 'lseg' else 720
+    # lseg/demo produce 512-d half-res maps: full 720-px inputs
+    # would make the hdf5 enormous for no teacher benefit.
+    target_size = 242 if feature in ('lseg', 'demo') else 720
     scale_factor = target_size / short_side
     return int(H * scale_factor), int(W * scale_factor)
 

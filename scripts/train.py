@@ -56,6 +56,13 @@ def read_args():
                         "ray's [near, far] to the occupied span (big win "
                         "on mostly-empty scenes; can clip geometry "
                         "thinner than the probe spacing, hence opt-in).")
+    parser.add_argument('--stochastic-residual', action='store_true',
+                        help="Rao-Blackwellized stochastic gathers "
+                        "(with --stochastic-corners 2): the max-weight "
+                        "corner enters deterministically, one draw "
+                        "covers the remainder — same cost, lower "
+                        "estimator variance (biggest win with "
+                        "--grid-interp simplex).")
     parser.add_argument('--stochastic-corners', type=int, default=2,
                         help="Hash-grid corners sampled per point in "
                         "training (unbiased estimate of the trilinear "
@@ -122,6 +129,7 @@ def main():
         stochastic_corners=(0 if flags.no_stochastic_corners else
                             flags.stochastic_corners),
         stochastic_exact_levels=flags.stochastic_exact_levels,
+        stochastic_residual=flags.stochastic_residual,
         occupancy_near_far=flags.occupancy_near_far)
 
     mesh = None

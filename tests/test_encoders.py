@@ -344,3 +344,61 @@ def test_simplex_grad_flows_to_table():
     np.testing.assert_allclose(float(g.sum()),
                                16 * cfg.n_levels * cfg.n_features,
                                rtol=1e-4)
+
+
+def test_residual_estimator_unbiased_and_lower_variance():
+    """The Rao-Blackwellized 2-row estimator (deterministic max-weight
+    corner + residual draw) has the exact mean and, for simplex,
+    substantially lower variance than the antithetic pair at the same
+    gather-row cost."""
+    cfg = SIMPLEX_CFG
+    table = hashgrid_init(jax.random.PRNGKey(40), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(41), (16, 3))
+    n_draws = 1200
+    for interp in ('trilinear', 'simplex'):
+        exact = np.asarray(hashgrid_encode(table, x, cfg, interp=interp))
+        acc = np.zeros_like(exact)
+        var_res = 0.0
+        var_anti = 0.0
+        for i in range(n_draws):
+            k = jax.random.PRNGKey(5000 + i)
+            r = np.asarray(hashgrid_encode(table, x, cfg, key=k,
+                                           n_samples=2, interp=interp,
+                                           residual=True))
+            a = np.asarray(hashgrid_encode(table, x, cfg, key=k,
+                                           n_samples=2, interp=interp))
+            acc += r
+            var_res += ((r - exact) ** 2).mean()
+            var_anti += ((a - exact) ** 2).mean()
+        np.testing.assert_allclose(acc / n_draws, exact, atol=1.2e-5)
+        if interp == 'simplex':
+            assert var_res < 0.75 * var_anti, (var_res, var_anti)
+        else:
+            assert var_res < 1.1 * var_anti, (var_res, var_anti)
+
+
+def test_residual_requires_two_samples():
+    cfg = SIMPLEX_CFG
+    table = hashgrid_init(jax.random.PRNGKey(42), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(43), (4, 3))
+    with pytest.raises(NotImplementedError, match='2-row'):
+        hashgrid_encode(table, x, cfg, key=jax.random.PRNGKey(44),
+                        n_samples=1, residual=True)
+
+
+def test_residual_exact_levels():
+    cfg = HashGridConfig(n_levels=3,
+                         n_features=8,
+                         log2_hashmap_size=8,
+                         base_resolution=4,
+                         per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(45), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(46), (8, 3))
+    for interp in ('trilinear', 'simplex'):
+        exact = np.asarray(hashgrid_encode(table, x, cfg, interp=interp))
+        fine = slice((cfg.n_levels - 1) * cfg.n_features, None)
+        out = np.asarray(hashgrid_encode(table, x, cfg,
+                                         key=jax.random.PRNGKey(47),
+                                         n_samples=2, exact_levels=1,
+                                         interp=interp, residual=True))
+        np.testing.assert_allclose(out[:, fine], exact[:, fine], atol=1e-7)
