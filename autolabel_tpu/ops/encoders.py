@@ -372,14 +372,19 @@ def _encode_residual(table, x, config, key, exact_levels, interp):
     n_exact = min(max(exact_levels, 0), n_levels)
     us = jax.random.uniform(key, (n_levels, n))
 
-    def atoms(l):
+    # Atom index -> corner offset without materialized (A, 3, N)
+    # offset tensors or take_along_axis (both cost real milliseconds at
+    # step scale): trilinear atoms are the bits of the index in the
+    # _CORNERS meshgrid order; simplex atoms are 3 selects over the
+    # per-point lattice path.
+    def atom_offset(i, simplex_offsets):
         if interp == 'simplex':
-            return _simplex_corners(frac[:, l])
-        offsets = jnp.broadcast_to(
-            jnp.asarray(_CORNERS, jnp.int32)[:, :, None], (8, 3, n))
-        weights = jnp.stack(
-            [_corner_weight(frac[:, l], c) for c in _CORNERS])
-        return offsets, weights
+            return jnp.where(
+                i[None, :] == 0, simplex_offsets[0],
+                jnp.where(i[None, :] == 1, simplex_offsets[1],
+                          jnp.where(i[None, :] == 2, simplex_offsets[2],
+                                    simplex_offsets[3])))  # (3, N)
+        return jnp.stack([(i >> 2) & 1, (i >> 1) & 1, i & 1])
 
     def gather(l, off):
         idx = _corner_index(cell[:, l], (off[0], off[1], off[2]), stride[l],
@@ -394,19 +399,22 @@ def _encode_residual(table, x, config, key, exact_levels, interp):
             outs.append(exact(table, l, cell, frac, stride, use_dense,
                               config))
             continue
-        offsets, weights = atoms(l)
+        if interp == 'simplex':
+            simplex_offsets, weights = _simplex_corners(frac[:, l])
+        else:
+            simplex_offsets = None
+            weights = jnp.stack(
+                [_corner_weight(frac[:, l], c) for c in _CORNERS])
         m = jnp.argmax(weights, axis=0)  # (N,)
-        w_m = jnp.take_along_axis(weights, m[None], axis=0)[0]
-        off_m = jnp.take_along_axis(offsets, m[None, None, :], axis=0)[0]
-        f_det = gather(l, off_m)
+        w_m = jnp.max(weights, axis=0)
+        f_det = gather(l, atom_offset(m, simplex_offsets))
 
         wr = jnp.where(
             jnp.arange(weights.shape[0])[:, None] == m[None], 0.0, weights)
         cum = jnp.cumsum(wr, axis=0) / jnp.maximum(
             wr.sum(axis=0), 1e-12)  # (A, N), last row ~1
         j = (us[l][None] > cum[:-1]).sum(axis=0)  # in [0, A-1], never m
-        off_j = jnp.take_along_axis(offsets, j[None, None, :], axis=0)[0]
-        f_sto = gather(l, off_j)
+        f_sto = gather(l, atom_offset(j, simplex_offsets))
 
         w = w_m.astype(table.dtype)[:, None]
         outs.append(w * f_det + (1.0 - w) * f_sto)

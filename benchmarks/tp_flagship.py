@@ -151,11 +151,21 @@ def main():
     env['XLA_FLAGS'] = (
         xla + f' --xla_force_host_platform_device_count={n}').strip()
     env['JAX_PLATFORMS'] = 'cpu'
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), '--mesh', str(data),
-         str(model), '--iters', str(flags.iters), '--_impl'],
-        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(
-            __file__))), timeout=3600)
+    # The env var alone is NOT enough on axon-tunneled hosts (the
+    # sitecustomize initializes jax first); force the platform via
+    # jax.config before anything else runs, like dryrun_multichip.
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        f"sys.path.insert(0, {here!r})\n"
+        f"sys.path.insert(0, {os.path.join(here, 'benchmarks')!r})\n"
+        "from tp_flagship import run_step\n"
+        f"run_step({data}, {model}, {flags.iters}, "
+        f"'virtual_{data}x{model}')\n")
+    proc = subprocess.run([sys.executable, '-c', code], env=env, cwd=here,
+                          timeout=3600)
     sys.exit(proc.returncode)
 
 
