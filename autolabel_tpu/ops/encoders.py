@@ -212,7 +212,7 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
     stochastic mass shrinks from 1 to (1 - w_m) — measured variance is
     well below the antithetic estimator (tests/test_encoders.py).
     """
-    if residual:
+    if residual and key is not None:
         if n_samples != 2:
             raise NotImplementedError(
                 "residual sampling is a 2-row estimator (n_samples=2)")
@@ -220,9 +220,8 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
             raise NotImplementedError(
                 "residual sampling is implemented for the wide-row "
                 "layout only")
-        if key is not None:
-            return _encode_residual(table, x, config, key, exact_levels,
-                                    interp)
+        return _encode_residual(table, x, config, key, exact_levels,
+                                interp)
     if interp == 'simplex':
         if config.n_features % 8 != 0:
             raise NotImplementedError(
