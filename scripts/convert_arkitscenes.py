@@ -21,7 +21,11 @@ import cv2
 import numpy as np
 from scipy.spatial.transform import Rotation
 
-# CLI parity: reference scripts/convert_arkitscenes.py.
+# Same CLI and output contract as the reference converter; restructured
+# around an ArkitCapture reader yielding matched frame tuples.
+
+MIN_CONFIDENCE = 2
+MAX_POSE_DT = 1.0 / 90.0  # max rgb <-> pose timestamp difference
 
 
 def read_args():
@@ -32,100 +36,98 @@ def read_args():
     return parser.parse_args()
 
 
-def collect_images(dir_path):
-    return {
-        filename.replace('.png', ''): os.path.join(dir_path, filename)
-        for filename in os.listdir(dir_path)
-    }
+class ArkitCapture:
+    """One ARKitScenes capture: timestamp-keyed asset maps + trajectory."""
+
+    ASSETS = ('lowres_wide', 'lowres_depth', 'confidence')
+
+    def __init__(self, scene_dir):
+        self.scene_dir = scene_dir
+        self._trajectory = None
+
+    @property
+    def trajectory(self):
+        if self._trajectory is None:
+            self._trajectory = np.loadtxt(
+                os.path.join(self.scene_dir, 'lowres_wide.traj'))
+        return self._trajectory
+
+    @property
+    def complete(self):
+        needed = [os.path.join(self.scene_dir, 'lowres_wide.traj'),
+                  os.path.join(self.scene_dir, 'lowres_wide_intrinsics')]
+        needed += [os.path.join(self.scene_dir, a) for a in self.ASSETS]
+        return all(os.path.exists(p) for p in needed)
+
+    def intrinsics(self):
+        d = os.path.join(self.scene_dir, 'lowres_wide_intrinsics')
+        _, _, fx, fy, cx, cy = np.loadtxt(os.path.join(d, os.listdir(d)[0]))
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    @staticmethod
+    def _stamp(filename):
+        # Names look like <video_id>_<seconds>.<milliseconds>
+        seconds, ms = filename.split('_')[1].split('.')
+        return int(seconds) + int(ms) * 1e-3
+
+    def _asset_map(self, asset):
+        d = os.path.join(self.scene_dir, asset)
+        return {f.replace('.png', ''): os.path.join(d, f)
+                for f in os.listdir(d)}
+
+    def _pose_at(self, timestamp):
+        """Nearest-timestamp trajectory row -> (T_CW, |dt|)."""
+        errors = np.abs(self.trajectory[:, 0] - timestamp)
+        row = self.trajectory[errors.argmin()]
+        T_CW = np.eye(4)
+        T_CW[:3, :3] = Rotation.from_rotvec(row[1:4]).as_matrix()
+        T_CW[:3, 3] = row[4:]
+        return T_CW, errors.min()
+
+    def frames(self):
+        """Yield (stamp_key, rgb_path, depth_path, conf_path, T_CW) for
+        every rgb frame with all assets and a pose within MAX_POSE_DT,
+        in timestamp order."""
+        rgb, depth, conf = (self._asset_map(a) for a in self.ASSETS)
+        for key in sorted(rgb, key=self._stamp):
+            if key not in depth or key not in conf:
+                print(f"Skipping image {key} (missing depth/confidence)")
+                continue
+            T_CW, dt = self._pose_at(self._stamp(key))
+            if dt > MAX_POSE_DT:
+                print(f"Skipping {key} due to time diff {dt:.03}", end='\r')
+                continue
+            yield key, rgb[key], depth[key], conf[key], T_CW
 
 
-def read_intrinsics(dir_path):
-    intrinsic_path = os.path.join(dir_path, os.listdir(dir_path)[0])
-    _, _, fx, fy, cx, cy = np.loadtxt(intrinsic_path)
-    C = np.eye(3)
-    C[0, 0] = fx
-    C[1, 1] = fy
-    C[0, 2] = cx
-    C[1, 2] = cy
-    return C
-
-
-def to_ts(filename):
-    # Names look like <video_id>_<seconds>.<milliseconds>
-    _, ts = filename.split('_')
-    seconds, ms = (int(v) for v in ts.split('.'))
-    return seconds + ms * 1e-3
-
-
-def find_pose(trajectory, rgb_name):
-    timestamp = to_ts(rgb_name)
-    errors = np.abs(trajectory[:, 0] - timestamp)
-    closest = errors.argmin()
-    return trajectory[closest], errors[closest]
-
-
-def to_transform(pose):
-    T_CW = np.eye(4)
-    T_CW[:3, :3] = Rotation.from_rotvec(pose[1:4]).as_matrix()
-    T_CW[:3, 3] = pose[4:]
-    return T_CW
-
-
-def write_scene(flags, scene_name, trajectory, rgb_images, depth_images,
-                confidence_images, intrinsics):
-    eps = 1.0 / 90.0  # max rgb <-> pose timestamp difference
-    rgb_out = os.path.join(flags.out, scene_name, 'rgb')
-    depth_out = os.path.join(flags.out, scene_name, 'depth')
-    pose_out = os.path.join(flags.out, scene_name, 'pose')
-    for d in (rgb_out, depth_out, pose_out):
+def write_scene(capture, out_dir):
+    dirs = {sub: os.path.join(out_dir, sub)
+            for sub in ('rgb', 'depth', 'pose')}
+    for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
-    images = sorted(rgb_images.items(), key=lambda x: to_ts(x[0]))
-    for i, (rgb_name, rgb_path_in) in enumerate(images):
-        print(f"Writing {rgb_name}", end='\r')
-        if rgb_name not in depth_images or rgb_name not in confidence_images:
-            print(f"Skipping image {rgb_name}")
-            continue
-        pose, time_diff = find_pose(trajectory, rgb_name)
-        if time_diff > eps:
-            print(f"Skipping {rgb_name} due to time diff {time_diff:.03}",
-                  end='\r')
-            continue
-        T_CW = to_transform(pose)
-
-        image_name = f"{i:06}"
-        rgb = cv2.imread(rgb_path_in, -1)
-        depth = cv2.imread(depth_images[rgb_name], -1)
-        confidence = cv2.imread(confidence_images[rgb_name], -1)
-        depth[confidence < 2] = 0
-        cv2.imwrite(os.path.join(depth_out, image_name + '.png'), depth)
-        cv2.imwrite(os.path.join(rgb_out, image_name + '.png'), rgb)
-        np.savetxt(os.path.join(pose_out, image_name + '.txt'), T_CW)
-    np.savetxt(os.path.join(flags.out, scene_name, 'intrinsics.txt'),
-               intrinsics)
+    for i, (key, rgb_path, depth_path, conf_path,
+            T_CW) in enumerate(capture.frames()):
+        print(f"Writing {key}", end='\r')
+        name = f"{i:06}"
+        depth = cv2.imread(depth_path, -1)
+        depth[cv2.imread(conf_path, -1) < MIN_CONFIDENCE] = 0
+        cv2.imwrite(os.path.join(dirs['depth'], name + '.png'), depth)
+        cv2.imwrite(os.path.join(dirs['rgb'], name + '.png'),
+                    cv2.imread(rgb_path, -1))
+        np.savetxt(os.path.join(dirs['pose'], name + '.txt'), T_CW)
+    np.savetxt(os.path.join(out_dir, 'intrinsics.txt'),
+               capture.intrinsics())
 
 
 def main():
     flags = read_args()
     for scene in os.listdir(flags.arkit_scenes):
-        scene_dir = os.path.join(flags.arkit_scenes, scene)
-        traj_file = os.path.join(scene_dir, 'lowres_wide.traj')
-        confidence_dir = os.path.join(scene_dir, 'confidence')
-        depth_dir = os.path.join(scene_dir, 'lowres_depth')
-        rgb_dir = os.path.join(scene_dir, 'lowres_wide')
-        intrinsics_dir = os.path.join(scene_dir, 'lowres_wide_intrinsics')
-
-        if not all(
-                os.path.exists(p)
-                for p in (traj_file, confidence_dir, rgb_dir,
-                          intrinsics_dir)):
+        capture = ArkitCapture(os.path.join(flags.arkit_scenes, scene))
+        if not capture.complete:
             print(f"Missing files in {scene}")
             continue
-
-        write_scene(flags, scene, np.loadtxt(traj_file),
-                    collect_images(rgb_dir), collect_images(depth_dir),
-                    collect_images(confidence_dir),
-                    read_intrinsics(intrinsics_dir))
+        write_scene(capture, os.path.join(flags.out, scene))
 
 
 if __name__ == "__main__":

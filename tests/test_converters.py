@@ -283,3 +283,51 @@ def test_convert_scanner_capture(tmp_path):
     assert K_rot[0, 0] == K[1, 1] and K_rot[1, 1] == K[0, 0]
     assert cv2.imread(str(out_rot / 'raw_depth' / '00000.png'),
                       -1).shape == (w, h)
+
+
+def test_convert_arkitscenes_capture(tmp_path):
+    """scripts/convert_arkitscenes.py: asset maps + trajectory matching
+    into the scene contract (confidence masking, pose timestamp gate,
+    intrinsics)."""
+    import importlib
+    import cv2
+    arkit = importlib.import_module('convert_arkitscenes')
+
+    scene = tmp_path / 'cap' / '41069021'
+    for sub in ('lowres_wide', 'lowres_depth', 'confidence',
+                'lowres_wide_intrinsics'):
+        (scene / sub).mkdir(parents=True)
+    w, h = 32, 24
+    rng = np.random.default_rng(1)
+    # Three frames; the third has no pose within 1/90 s.
+    stamps = ['41069021_1000.100', '41069021_1000.200', '41069021_1000.900']
+    for name in stamps:
+        rgb = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        depth = rng.integers(100, 4000, (h, w)).astype(np.uint16)
+        conf = np.full((h, w), 2, np.uint8)
+        conf[:4] = 0
+        cv2.imwrite(str(scene / 'lowres_wide' / f'{name}.png'), rgb)
+        cv2.imwrite(str(scene / 'lowres_depth' / f'{name}.png'), depth)
+        cv2.imwrite(str(scene / 'confidence' / f'{name}.png'), conf)
+    np.savetxt(scene / 'lowres_wide_intrinsics' / f'{stamps[0]}.pincam',
+               np.array([w, h, 300.0, 310.0, 16.0, 12.0]))
+    # trajectory rows: timestamp, rotvec (3), translation (3)
+    np.savetxt(scene / 'lowres_wide.traj', np.array([
+        [1000.101, 0.0, 0.0, 0.0, 1.0, 2.0, 3.0],
+        [1000.203, 0.0, 0.0, np.pi / 2, 4.0, 5.0, 6.0],
+    ]))
+
+    capture = arkit.ArkitCapture(str(scene))
+    assert capture.complete
+    out = tmp_path / 'scene'
+    arkit.write_scene(capture, str(out))
+
+    # Frame 3 dropped by the pose gate -> two frames written.
+    assert sorted(os.listdir(out / 'rgb')) == ['000000.png', '000001.png']
+    depth0 = cv2.imread(str(out / 'depth' / '000000.png'), -1)
+    assert (depth0[:4] == 0).all() and (depth0[4:] > 0).all()
+    T = np.loadtxt(out / 'pose' / '000001.txt')
+    np.testing.assert_allclose(T[:3, 3], [4.0, 5.0, 6.0])
+    np.testing.assert_allclose(T[:3, :3] @ [1, 0, 0], [0, 1, 0], atol=1e-9)
+    K = np.loadtxt(out / 'intrinsics.txt')
+    assert K[0, 0] == 300.0 and K[1, 2] == 12.0
