@@ -119,7 +119,7 @@ class Field:
     # -- encodings ---------------------------------------------------------
 
     def _grid_encode(self, table, normalized, key=None, n_samples=1,
-                     exact_levels=0, residual=False):
+                     exact_levels=0, residual=False, sampled_backward=0):
         c = self.config
         if (c.grid_impl == 'pallas' and key is None
                 and c.grid_interp == 'trilinear'):
@@ -130,10 +130,11 @@ class Field:
                                n_samples=n_samples,
                                exact_levels=exact_levels,
                                interp=c.grid_interp,
-                               residual=residual)
+                               residual=residual,
+                               sampled_backward=sampled_backward)
 
     def encode(self, params: Params, x, key=None, n_samples=1,
-               exact_levels=0, residual=False):
+               exact_levels=0, residual=False, sampled_backward=0):
         """Positional encoding of (N, 3) points in [-bound, bound].
 
         key: optional PRNG key for stochastic-corner hash-grid gathers
@@ -147,25 +148,28 @@ class Field:
             return frequency_encode(normalized, 10)
         if c.encoding == 'hg':
             return self._grid_encode(params['encoder']['grid'], normalized,
-                                     key, n_samples, exact_levels, residual)
+                                     key, n_samples, exact_levels, residual,
+                                     sampled_backward)
         if c.encoding == 'hg+freq':
             # Frequency part runs on the raw coordinates, grid on the
             # normalized ones (parity: autolabel/models.py:51-59).
             freq = frequency_encode(x, 2)
             grid = self._grid_encode(params['encoder']['grid'], normalized,
-                                     key, n_samples, exact_levels, residual)
+                                     key, n_samples, exact_levels, residual,
+                                     sampled_backward)
             return jnp.concatenate([freq, grid], axis=-1)
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
     # -- heads --------------------------------------------------------------
 
     def density(self, params: Params, x, key=None, n_samples=1,
-                exact_levels=0, residual=False):
+                exact_levels=0, residual=False, sampled_backward=0):
         """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
         h = mlp_apply(params['sigma_net'],
                       self.encode(params, x, key=key, n_samples=n_samples,
                                   exact_levels=exact_levels,
-                                  residual=residual))
+                                  residual=residual,
+                                  sampled_backward=sampled_backward))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
 

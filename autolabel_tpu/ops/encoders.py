@@ -161,9 +161,9 @@ def _grid_geometry(x, config):
 
 @functools.partial(jax.jit,
                    static_argnames=('config', 'n_samples', 'exact_levels',
-                                    'interp', 'residual'))
+                                    'interp', 'residual', 'sampled_backward'))
 def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
-                    interp='trilinear', residual=False):
+                    interp='trilinear', residual=False, sampled_backward=0):
     """Encode (N, 3) points in [0, 1] -> (N, n_levels * n_features).
 
     Two formulations, chosen by feature width (both exact):
@@ -211,7 +211,36 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
     mean and the same 2 gathered rows as the antithetic pair, but the
     stochastic mass shrinks from 1 to (1 - w_m) — measured variance is
     well below the antithetic estimator (tests/test_encoders.py).
+
+    sampled_backward (1 or 2, requires key): EXACT forward, SAMPLED
+    backward. The forward pass interpolates exactly (all corners
+    gathered — cheap on TPU: gathers into a 2^15-row table run at
+    ~0.6 ns/row thanks to temporal locality) while a custom VJP
+    scatters each point/level's cotangent into only `sampled_backward`
+    sampled corner rows instead of all of them (scatter-add costs
+    ~15-17 ns/row REGARDLESS of structure — benchmarks/scatter_lab.py
+    — so the backward is the cost center the sampling attacks).
+    E[scattered cotangent] equals the exact gradient:
+      1 -> one importance draw J ~ w (scatters g, since w_J/p_J = 1),
+      2 -> Rao-Blackwellized residual pair (w_m * g into the max-weight
+           corner, (1 - w_m) * g into a residual draw).
+    Unlike stochastic_corners there is NO forward noise — the loss sees
+    the exact field — and the gradient estimator is unbiased with
+    variance far below forward sampling at the same row budget. When
+    set, n_samples/residual are ignored (they shape the forward).
     """
+    if sampled_backward and key is not None:
+        if config.n_features % 8 != 0:
+            raise NotImplementedError(
+                "sampled_backward is implemented for the wide-row "
+                "(TPU_GRID-shaped) layout only")
+        if sampled_backward not in (1, 2):
+            raise NotImplementedError(
+                "sampled_backward must be 1 (importance draw) or 2 "
+                "(residual pair)")
+        u = jax.random.uniform(key, (config.n_levels, x.shape[0]))
+        return _encode_sampled_bwd(config, interp, int(sampled_backward),
+                                   table, x, u)
     if residual and key is not None:
         if n_samples != 2:
             raise NotImplementedError(
@@ -418,6 +447,91 @@ def _encode_residual(table, x, config, key, exact_levels, interp):
         w = w_m.astype(table.dtype)[:, None]
         outs.append(w * f_det + (1.0 - w) * f_sto)
     return jnp.concatenate(outs, axis=-1)
+
+
+def _atoms(interp, frac_l):
+    """Corner offsets + weights of one level's interpolation atoms.
+
+    Returns (offset_fn: atom-index (N,) -> (3, N) offsets, weights (A, N))
+    — the offset selection avoids materializing (A, 3, N) tensors or
+    take_along_axis (see _encode_residual).
+    """
+    if interp == 'simplex':
+        simplex_offsets, weights = _simplex_corners(frac_l)
+
+        def offset_fn(i):
+            return jnp.where(
+                i[None, :] == 0, simplex_offsets[0],
+                jnp.where(i[None, :] == 1, simplex_offsets[1],
+                          jnp.where(i[None, :] == 2, simplex_offsets[2],
+                                    simplex_offsets[3])))  # (3, N)
+        return offset_fn, weights
+    weights = jnp.stack([_corner_weight(frac_l, c) for c in _CORNERS])
+
+    def offset_fn(i):
+        # _CORNERS meshgrid order: atom i -> bits ((i>>2)&1, (i>>1)&1, i&1).
+        return jnp.stack([(i >> 2) & 1, (i >> 1) & 1, i & 1])
+    return offset_fn, weights
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _encode_sampled_bwd(config, interp, bwd_rows, table, x, u):
+    """Exact-forward / sampled-backward hash-grid encode (wide rows).
+
+    Forward: the exact interpolation (trilinear or simplex). Backward:
+    per (point, level), the cotangent is scattered into `bwd_rows`
+    corner rows drawn via `u` so that E[table gradient] equals the
+    exact gradient (see hashgrid_encode docstring). The x and u
+    cotangents are zero — in this renderer sample positions carry no
+    parameter gradients (z-placement is stop-gradded, renderer.py), so
+    dropping dOut/dx loses nothing.
+    """
+    del u, bwd_rows
+    if interp == 'simplex':
+        return _encode_rows_simplex(table, x, config)
+    return _encode_rows(table, x, config)
+
+
+def _encode_sampled_bwd_fwd(config, interp, bwd_rows, table, x, u):
+    out = _encode_sampled_bwd(config, interp, bwd_rows, table, x, u)
+    return out, (x, u)
+
+
+def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
+    x, u = res
+    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    f = config.n_features
+    cot = jnp.zeros((config.n_levels, config.table_size, f), g.dtype)
+
+    def scatter(cot, l, off, coef, g_l):
+        idx = _corner_index(cell[:, l], (off[0], off[1], off[2]), stride[l],
+                            use_dense[l], config.table_size)
+        return cot.at[l, idx].add(coef[:, None].astype(g_l.dtype) * g_l)
+
+    for l in range(config.n_levels):
+        g_l = g[:, l * f:(l + 1) * f]
+        offset_fn, weights = _atoms(interp, frac[:, l])
+        if bwd_rows == 2:
+            # Rao-Blackwellized residual pair (mirrors _encode_residual).
+            m = jnp.argmax(weights, axis=0)
+            w_m = jnp.max(weights, axis=0)
+            cot = scatter(cot, l, offset_fn(m), w_m, g_l)
+            wr = jnp.where(
+                jnp.arange(weights.shape[0])[:, None] == m[None], 0.0,
+                weights)
+            cum = jnp.cumsum(wr, axis=0) / jnp.maximum(
+                wr.sum(axis=0), 1e-12)
+            j = (u[l][None] > cum[:-1]).sum(axis=0)
+            cot = scatter(cot, l, offset_fn(j), 1.0 - w_m, g_l)
+        else:
+            # One importance draw J ~ w: scattered mass w_J / p_J = 1.
+            cum = jnp.cumsum(weights[:-1], axis=0)
+            j = (u[l][None] > cum).sum(axis=0)
+            cot = scatter(cot, l, offset_fn(j), jnp.ones(x.shape[0]), g_l)
+    return cot, jnp.zeros_like(x), jnp.zeros_like(u)
+
+
+_encode_sampled_bwd.defvjp(_encode_sampled_bwd_fwd, _encode_sampled_bwd_bwd)
 
 
 def _one_corner_rows(table, l, cell, stride, use_dense, config, upper_l):

@@ -50,6 +50,12 @@ class RenderOptions:
     # same gather rows, substantially lower estimator variance
     # (ops/encoders.hashgrid_encode residual mode).
     stochastic_residual: bool = False
+    # Exact-forward / sampled-backward hash gathers (1 or 2 scatter rows
+    # per point/level; 0 disables): the forward interpolates exactly and
+    # only the backward scatter is sampled — unbiased gradients with no
+    # forward noise (ops/encoders.hashgrid_encode sampled_backward).
+    # Takes precedence over stochastic_corners when set.
+    sampled_backward: int = 0
     # With an occupancy grid, probe it along each ray and shrink
     # [near, far] to the occupied span before sampling — the TPU-shaped
     # version of torch-ngp's empty-space skipping (samples concentrate
@@ -191,7 +197,7 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
     k_coarse = k_fine = k_enc = None
     if key is not None and options.perturb:
         key, k_coarse, k_fine, k_enc = jax.random.split(key, 4)
-    if not options.stochastic_corners:
+    if not options.stochastic_corners and not options.sampled_backward:
         k_enc = None
 
     near, far = ray_aabb_intersect(rays_o, rays_d, bound)
@@ -238,7 +244,8 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
                                    n_samples=n_corner_samples,
                                    exact_levels=options.
                                    stochastic_exact_levels,
-                                   residual=options.stochastic_residual)
+                                   residual=options.stochastic_residual,
+                                   sampled_backward=options.sampled_backward)
         if occupancy is not None:
             density_grid, trained_mask, threshold = occupancy
             r = density_grid.shape[0]

@@ -123,7 +123,8 @@ class SimpleTrainer:
         # exact-throughout).
         self._stochastic_until = None
         if (iters is not None and exact_final_fraction > 0
-                and self.render_options.stochastic_corners):
+                and (self.render_options.stochastic_corners
+                     or self.render_options.sampled_backward)):
             self._stochastic_until = int(iters * (1 - exact_final_fraction))
 
         occupancy_threshold = (occupancy.config.threshold
@@ -162,7 +163,8 @@ class SimpleTrainer:
             exact_step = _make_step(
                 field, self.tx, self.loss_options,
                 dataclasses.replace(self.render_options,
-                                    stochastic_corners=0),
+                                    stochastic_corners=0,
+                                    sampled_backward=0),
                 occupancy_threshold=occupancy_threshold)
             if mesh is not None:
                 self._train_step_exact = jax.jit(

@@ -50,6 +50,9 @@ def main():
     parser.add_argument('--residual', action='store_true',
                         help='Rao-Blackwellized 2-row estimator (max-'
                         'weight corner deterministic + residual draw).')
+    parser.add_argument('--sampled-backward', type=int, default=0,
+                        help='Exact-forward / sampled-backward gathers '
+                        '(1 or 2 scatter rows; overrides --corners).')
     parser.add_argument('--interp', default='trilinear',
                         choices=['trilinear', 'simplex'],
                         help='Hash-grid interpolant (model-level; eval '
@@ -93,7 +96,8 @@ def main():
             perturb=True,
             stochastic_corners=flags.corners,
             stochastic_exact_levels=flags.exact_levels,
-            stochastic_residual=flags.residual),
+            stochastic_residual=flags.residual,
+            sampled_backward=flags.sampled_backward),
         workspace=None, ema_decay=0.95,
         exact_final_fraction=flags.exact_final_fraction,
         metrics=False)
@@ -135,6 +139,7 @@ def main():
         'interp': flags.interp,
         'corners': flags.corners,
         'residual': flags.residual,
+        'sampled_backward': flags.sampled_backward,
         'occupancy': flags.occupancy,
         'exact_levels': flags.exact_levels,
         'exact_final_fraction': flags.exact_final_fraction,

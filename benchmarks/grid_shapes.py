@@ -36,6 +36,9 @@ def main():
                         'stochastic configs.')
     parser.add_argument('--grids', type=str, nargs='*', default=None,
                         help='Subset of layout names to time.')
+    parser.add_argument('--sampled-backward', type=int, default=0,
+                        help='Exact-forward / sampled-backward gathers '
+                        '(1 or 2 scatter rows; overrides --corners).')
     parser.add_argument('--interp', type=str, nargs='*',
                         default=['trilinear'],
                         choices=['trilinear', 'simplex'],
@@ -98,7 +101,8 @@ def main():
                                     perturb=True,
                                     stochastic_corners=corners,
                                     stochastic_residual=(flags.residual and
-                                                         corners == 2))
+                                                         corners == 2),
+                                    sampled_backward=flags.sampled_backward)
 
             def loss_fn(p, batch, key):
                 out = render_rays(field, p, batch['rays_o'],
@@ -131,6 +135,7 @@ def main():
                 'interp': interp,
                 'corners': corners,
                 'residual': flags.residual and corners == 2,
+                'sampled_backward': flags.sampled_backward,
                 'ms_per_step': round(ms, 1),
                 'rays_per_sec': round(batch_n / ms * 1000, 0),
                 'grid_params_m': round(n_params / 1e6, 1),

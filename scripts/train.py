@@ -70,6 +70,15 @@ def read_args():
                         "8-corner trilinear.")
     parser.add_argument('--no-stochastic-corners', action='store_true',
                         help="Alias for --stochastic-corners 0.")
+    parser.add_argument('--sampled-backward', type=int, default=0,
+                        choices=(0, 1, 2),
+                        help="Exact-forward / sampled-backward hash "
+                        "gathers: the forward interpolates exactly and "
+                        "each point/level's gradient scatters into only "
+                        "N sampled corner rows (1 = importance draw, "
+                        "2 = Rao-Blackwellized residual pair) — "
+                        "unbiased gradients with zero forward noise. "
+                        "Takes precedence over --stochastic-corners.")
     parser.add_argument('--stochastic-exact-levels', type=int, default=0,
                         help="With stochastic corners, interpolate this "
                         "many of the finest grid levels exactly.")
@@ -130,6 +139,7 @@ def main():
                             flags.stochastic_corners),
         stochastic_exact_levels=flags.stochastic_exact_levels,
         stochastic_residual=flags.stochastic_residual,
+        sampled_backward=flags.sampled_backward,
         occupancy_near_far=flags.occupancy_near_far)
 
     mesh = None
