@@ -42,12 +42,23 @@ class TrainingLoop:
                                    semantic_weight=flags.semantic_weight,
                                    feature_weight=flags.feature_weight,
                                    feature_loss=flags.features is not None)
+        # Interactive training runs the flagship sampled-backward step
+        # (exact forward, 2 sampled gradient-scatter rows): there is no
+        # schedule/annealing here, so zero forward noise matters for the
+        # preview the user paints against. Only the wide-row (TPU_GRID)
+        # layout implements it; narrow reference-preset rows train exact.
+        sampled_backward = getattr(flags, 'sampled_backward', 2)
+        grid_cfg = self.field.config.grid
+        if grid_cfg is None or grid_cfg.n_features % 8 != 0:
+            sampled_backward = 0
         if getattr(flags, 'proposal', False):
             render_options = RenderOptions(
                 num_steps=32, perturb=True,
+                sampled_backward=sampled_backward,
                 proposal_steps=getattr(flags, 'proposal_steps', 64))
         else:
-            render_options = RenderOptions(num_steps=128, perturb=True)
+            render_options = RenderOptions(num_steps=128, perturb=True,
+                                           sampled_backward=sampled_backward)
         occupancy = None
         if getattr(flags, 'occupancy_grid', False):
             from autolabel_tpu.render.occupancy import (OccupancyGrid,

@@ -46,14 +46,28 @@ def model_flag_parser():
     parser.add_argument('--proposal-steps', type=int, default=64,
                         help="Uniform proposal samples per ray.")
     parser.add_argument('--grid-interp',
-                        default='trilinear',
+                        default='simplex',
                         choices=['trilinear', 'simplex'],
-                        help="Hash-grid interpolation: 'trilinear' (8 "
-                        "cell corners, reference parity) or 'simplex' "
+                        help="Hash-grid interpolation: 'simplex' "
                         "(tetrahedral, 4 corners — halves the gather/"
                         "scatter cost of the encode, the step's cost "
-                        "center).")
+                        "center; default, flagship) or 'trilinear' (8 "
+                        "cell corners, reference parity).")
     return parser
+
+
+def effective_grid_interp(flags):
+    """The interpolant a flags object actually trains with.
+
+    Simplex interpolation is implemented for the wide-row (TPU_GRID)
+    layout only; the narrow reference-preset grid always interpolates
+    trilinearly, whatever --grid-interp says. Normalized here so the
+    model hash and the built Field can never disagree.
+    """
+    interp = getattr(flags, 'grid_interp', 'trilinear')
+    if getattr(flags, 'grid_preset', 'reference') != 'tpu':
+        return 'trilinear'
+    return interp
 
 
 def model_hash(flags):
@@ -70,7 +84,7 @@ def model_hash(flags):
         string += "_prop"
     # The interpolant is part of the model semantics (the table is
     # trained against it), so simplex models get their own workspace.
-    if getattr(flags, 'grid_interp', 'trilinear') == 'simplex':
+    if effective_grid_interp(flags) == 'simplex':
         string += "_simplex"
     return string
 
@@ -115,8 +129,7 @@ def create_model(min_bounds, max_bounds, n_classes, flags):
                          bound=compute_bound(min_bounds, max_bounds),
                          grid=grid,
                          proposal=getattr(flags, 'proposal', False),
-                         grid_interp=getattr(flags, 'grid_interp',
-                                             'trilinear'))
+                         grid_interp=effective_grid_interp(flags))
     return Field(config)
 
 

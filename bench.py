@@ -4,17 +4,22 @@ Measures rays/sec of the full jitted train step (render + all four losses +
 Adam) on the reference workload shape: batch 4096 rays, hg+freq encoding
 with the TPU-first grid preset (4 levels x 128 features x 2^15 — the same
 16.7M parameters as the reference's 16 x 2 x 2^19, shaped for the v5e
-gather engine), proposal sampling (64 cheap -> 32 main samples), and
-stochastic-corner hash gathers (2 antithetic corner draws per point/level,
-an unbiased estimator of the trilinear interpolation; see
-autolabel_tpu/ops/encoders.py).
+gather engine), proposal sampling (64 cheap -> 32 main samples), simplex
+(tetrahedral, 4-corner) hash-grid interpolation, and sampled-backward
+hash gathers: the forward interpolates EXACTLY (zero forward noise) while
+each (point, level) gradient scatters into 2 sampled corner rows — an
+unbiased Rao-Blackwellized estimator of the table gradient that attacks
+the step's measured cost center, the backward scatter (see
+autolabel_tpu/ops/encoders.py and benchmarks/scatter_lab.py).
 
 The flagship training schedule anneals: the first 90% of iterations run
-the stochastic step, the final 10% run exact trilinear gathers (the
+the sampled-backward step, the final 10% run fully exact gathers (the
 trainer's exact_final_fraction). The reported value is the
 schedule-weighted EFFECTIVE rays/s — what a full default 10k-iteration
 run actually sustains — with the per-phase numbers in the JSON for
-transparency.
+transparency. Quality is at parity with the all-exact mode: 24.25 dB vs
+24.28 dB at 10k iterations on the room scene (BASELINE.md), versus the
+round-2 forward-stochastic flagship's 23.79 dB.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -44,7 +49,8 @@ BATCH = 4096
 # hash-grid queries (the dominant cost on TPU).
 NUM_STEPS = 32
 PROPOSAL_STEPS = 64
-STOCHASTIC_CORNERS = 2
+GRID_INTERP = 'simplex'
+SAMPLED_BACKWARD = 2
 EXACT_FINAL_FRACTION = 0.1
 WARMUP_ITERS = 5
 BENCH_ITERS = 40
@@ -69,6 +75,7 @@ def main():
                     semantic_classes=6,
                     bound=2.0,
                     grid=TPU_GRID,
+                    grid_interp=GRID_INTERP,
                     proposal=True))
     params = field.init(jax.random.PRNGKey(0))
     tx = make_optimizer(params, lr=5e-3, iters=10000)
@@ -88,11 +95,12 @@ def main():
         'semantic': jnp.asarray(rng.integers(-1, 6, BATCH), jnp.int32),
     }
 
-    def make_step(stochastic_corners):
+    def make_step(sampled_backward):
         options = RenderOptions(num_steps=NUM_STEPS,
                                 proposal_steps=PROPOSAL_STEPS,
                                 perturb=True,
-                                stochastic_corners=stochastic_corners)
+                                stochastic_corners=0,
+                                sampled_backward=sampled_backward)
 
         def loss_fn(p, batch, key):
             out = render_rays(field, p, batch['rays_o'], batch['rays_d'],
@@ -122,10 +130,9 @@ def main():
         _ = float(loss)  # fence
         return (time.perf_counter() - start) / BENCH_ITERS
 
-    sec_stochastic = measure(make_step(STOCHASTIC_CORNERS), params,
-                             opt_state)
+    sec_sampled = measure(make_step(SAMPLED_BACKWARD), params, opt_state)
     sec_exact = measure(make_step(0), params, opt_state)
-    effective_sec = ((1.0 - EXACT_FINAL_FRACTION) * sec_stochastic +
+    effective_sec = ((1.0 - EXACT_FINAL_FRACTION) * sec_sampled +
                      EXACT_FINAL_FRACTION * sec_exact)
     rays_per_sec = BATCH / effective_sec
 
@@ -134,7 +141,7 @@ def main():
         'value': round(rays_per_sec, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-        'stochastic_ms_per_step': round(sec_stochastic * 1000, 1),
+        'sampled_backward_ms_per_step': round(sec_sampled * 1000, 1),
         'exact_ms_per_step': round(sec_exact * 1000, 1),
         'exact_final_fraction': EXACT_FINAL_FRACTION,
     }))

@@ -70,7 +70,7 @@ def read_args():
                         "8-corner trilinear.")
     parser.add_argument('--no-stochastic-corners', action='store_true',
                         help="Alias for --stochastic-corners 0.")
-    parser.add_argument('--sampled-backward', type=int, default=0,
+    parser.add_argument('--sampled-backward', type=int, default=2,
                         choices=(0, 1, 2),
                         help="Exact-forward / sampled-backward hash "
                         "gathers: the forward interpolates exactly and "
@@ -78,7 +78,10 @@ def read_args():
                         "N sampled corner rows (1 = importance draw, "
                         "2 = Rao-Blackwellized residual pair) — "
                         "unbiased gradients with zero forward noise. "
-                        "Takes precedence over --stochastic-corners.")
+                        "Takes precedence over --stochastic-corners; "
+                        "2 (the default) is quality-parity with fully "
+                        "exact training at ~2.7x the step rate "
+                        "(BASELINE.md). 0 disables (exact backward).")
     parser.add_argument('--stochastic-exact-levels', type=int, default=0,
                         help="With stochastic corners, interpolate this "
                         "many of the finest grid levels exactly.")
@@ -130,6 +133,12 @@ def main():
                                semantic_weight=flags.semantic_weight,
                                feature_weight=flags.feature_weight,
                                feature_loss=flags.features is not None)
+    # Sampled-backward gathers exist for the wide-row (TPU_GRID) layout
+    # only; the narrow reference-preset grid trains with exact gathers.
+    sampled_backward = flags.sampled_backward
+    grid_cfg = field.config.grid
+    if grid_cfg is None or grid_cfg.n_features % 8 != 0:
+        sampled_backward = 0
     render_options = RenderOptions(
         num_steps=flags.num_steps,
         upsample_steps=flags.upsample_steps,
@@ -139,7 +148,7 @@ def main():
                             flags.stochastic_corners),
         stochastic_exact_levels=flags.stochastic_exact_levels,
         stochastic_residual=flags.stochastic_residual,
-        sampled_backward=flags.sampled_backward,
+        sampled_backward=sampled_backward,
         occupancy_near_far=flags.occupancy_near_far)
 
     mesh = None

@@ -43,9 +43,13 @@ def test_train_cli_creates_workspace(trained_scene):
     nerf = os.path.join(trained_scene, 'nerf')
     assert os.path.isdir(nerf)
     hashes = os.listdir(nerf)
-    # Default grid preset is 'tpu' (suffixed); --grid-preset reference
-    # reproduces the reference's exact hash string.
-    assert hashes == ['g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5_tpugrid']
+    # Default grid preset is 'tpu' with simplex interpolation (both
+    # suffixed); --grid-preset reference reproduces the reference's
+    # exact hash string (and forces trilinear — model_utils.
+    # effective_grid_interp).
+    assert hashes == [
+        'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5_tpugrid_simplex'
+    ]
     model_dir = os.path.join(nerf, hashes[0])
     assert os.path.exists(os.path.join(model_dir, 'params.pkl'))
     checkpoints = os.listdir(os.path.join(model_dir, 'checkpoints'))
@@ -79,7 +83,7 @@ def test_render_cli(trained_scene, monkeypatch, tmp_path):
     out = str(tmp_path / 'video.mp4')
     model_dir = os.path.join(trained_scene, 'nerf',
                              'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5'
-                             '_tpugrid')
+                             '_tpugrid_simplex')
     _run_script(monkeypatch, 'render',
                 [trained_scene, '--model-dir', model_dir, '--out', out,
                  '--num-steps', '16', '--size', '48', '36', '--stride', '4'])
