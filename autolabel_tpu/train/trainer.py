@@ -87,6 +87,7 @@ class SimpleTrainer:
                  occupancy=None,
                  occupancy_update_every=100,
                  exact_final_fraction=0.1,
+                 sampled_warmup_fraction=0.0,
                  metrics=True,
                  seed=0):
         self.name = name
@@ -115,23 +116,37 @@ class SimpleTrainer:
         }
         self._base_key = jax.random.PRNGKey(seed + 1)
 
-        # Stochastic-corner annealing: cheap unbiased noisy gathers for
-        # most of the schedule, exact trilinear for the final fraction so
-        # the estimator noise does not cap converged quality (measured on
-        # the sphere A/B: stochastic-only plateaus ~1.5 dB below exact at
-        # 4k iters; the exact tail recovers it at ~1/3 the total cost of
-        # exact-throughout).
-        self._stochastic_until = None
+        # Gather-annealing phases. The schedule tightens the gradient
+        # estimator as training converges (noise matters least early):
+        #   [0, warmup):            sampled-backward-1 (one scatter row)
+        #                           — only with sampled_warmup_fraction
+        #   [warmup, exact_start):  the configured render options
+        #   [exact_start, end):     fully exact gathers, so estimator
+        #                           noise does not cap converged quality
+        #                           (sphere A/B: stochastic-only
+        #                           plateaus ~1.5 dB below exact).
+        # Each phase is its own jitted step; selection happens on the
+        # host by global_step (no in-jit branching).
+        phase_starts = [0]
+        phase_options = [self.render_options]
+        if (iters is not None and sampled_warmup_fraction > 0
+                and self.render_options.sampled_backward == 2):
+            phase_starts = [0, int(iters * sampled_warmup_fraction)]
+            phase_options = [
+                dataclasses.replace(self.render_options, sampled_backward=1),
+                self.render_options,
+            ]
         if (iters is not None and exact_final_fraction > 0
                 and (self.render_options.stochastic_corners
                      or self.render_options.sampled_backward)):
-            self._stochastic_until = int(iters * (1 - exact_final_fraction))
+            phase_starts.append(int(iters * (1 - exact_final_fraction)))
+            phase_options.append(
+                dataclasses.replace(self.render_options,
+                                    stochastic_corners=0,
+                                    sampled_backward=0))
 
         occupancy_threshold = (occupancy.config.threshold
                                if occupancy is not None else None)
-        step = _make_step(field, self.tx, self.loss_options,
-                          self.render_options,
-                          occupancy_threshold=occupancy_threshold)
         self._batch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -151,30 +166,27 @@ class SimpleTrainer:
             in_shardings = [state_spec, self._batch_sharding, replicated]
             if occupancy is not None:
                 in_shardings += [replicated, replicated]
-            self._train_step = jax.jit(
-                step,
-                donate_argnums=0,
-                in_shardings=tuple(in_shardings),
-                out_shardings=(state_spec, replicated))
+
+            def _jit_step(fn):
+                return jax.jit(fn,
+                               donate_argnums=0,
+                               in_shardings=tuple(in_shardings),
+                               out_shardings=(state_spec, replicated))
         else:
-            self._train_step = jax.jit(step, donate_argnums=0)
-        self._train_step_exact = None
-        if self._stochastic_until is not None:
-            exact_step = _make_step(
-                field, self.tx, self.loss_options,
-                dataclasses.replace(self.render_options,
-                                    stochastic_corners=0,
-                                    sampled_backward=0),
-                occupancy_threshold=occupancy_threshold)
-            if mesh is not None:
-                self._train_step_exact = jax.jit(
-                    exact_step,
-                    donate_argnums=0,
-                    in_shardings=tuple(in_shardings),
-                    out_shardings=(state_spec, replicated))
-            else:
-                self._train_step_exact = jax.jit(exact_step,
-                                                 donate_argnums=0)
+
+            def _jit_step(fn):
+                return jax.jit(fn, donate_argnums=0)
+
+        # (first_step, jitted step fn) per phase, ascending; jax.jit is
+        # lazy, so phases never reached never compile.
+        self._phases = [
+            (start,
+             _jit_step(
+                 _make_step(field, self.tx, self.loss_options, options,
+                            occupancy_threshold=occupancy_threshold)))
+            for start, options in zip(phase_starts, phase_options)
+        ]
+        self._train_step = self._phases[0][1]
 
         self._ema_step = jax.jit(_ema_update, static_argnums=1,
                                  donate_argnums=0)
@@ -288,10 +300,10 @@ class SimpleTrainer:
             args = ()
             if self.occupancy is not None:
                 args = self.occupancy.state()
-            step_fn = self._train_step
-            if (self._train_step_exact is not None
-                    and self.global_step >= self._stochastic_until):
-                step_fn = self._train_step_exact
+            step_fn = self._phases[0][1]
+            for first_step, fn in self._phases:
+                if self.global_step >= first_step:
+                    step_fn = fn
             self.state, losses = step_fn(
                 self.state, self._device_batch(data), self._base_key, *args)
             self.global_step += 1

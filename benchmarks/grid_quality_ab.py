@@ -50,6 +50,8 @@ def main():
     parser.add_argument('--residual', action='store_true',
                         help='Rao-Blackwellized 2-row estimator (max-'
                         'weight corner deterministic + residual draw).')
+    parser.add_argument('--sampled-warmup-fraction', type=float,
+                        default=0.0)
     parser.add_argument('--sampled-backward', type=int, default=0,
                         help='Exact-forward / sampled-backward gathers '
                         '(1 or 2 scatter rows; overrides --corners).')
@@ -100,6 +102,7 @@ def main():
             sampled_backward=flags.sampled_backward),
         workspace=None, ema_decay=0.95,
         exact_final_fraction=flags.exact_final_fraction,
+        sampled_warmup_fraction=flags.sampled_warmup_fraction,
         metrics=False)
 
     iters_per_epoch = min(1000, flags.iters)

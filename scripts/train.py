@@ -85,6 +85,12 @@ def read_args():
     parser.add_argument('--stochastic-exact-levels', type=int, default=0,
                         help="With stochastic corners, interpolate this "
                         "many of the finest grid levels exactly.")
+    parser.add_argument('--sampled-warmup-fraction', type=float,
+                        default=0.0,
+                        help="With --sampled-backward 2, run this "
+                        "leading fraction of the schedule with "
+                        "sampled-backward 1 (half the scatter rows; "
+                        "gradient noise matters least early).")
     parser.add_argument('--exact-final-fraction', type=float, default=0.1,
                         help="Train the final fraction of the schedule "
                         "with exact trilinear gathers (anneals away the "
@@ -185,6 +191,8 @@ def main():
                             mesh=mesh,
                             occupancy=occupancy,
                             exact_final_fraction=flags.exact_final_fraction,
+                            sampled_warmup_fraction=(
+                                flags.sampled_warmup_fraction),
                             metrics=not flags.no_metrics)
     mark('trainer init')
 

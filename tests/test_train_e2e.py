@@ -205,3 +205,47 @@ def test_annotation_burst_stays_finite(sphere_scene):
     assert np.isfinite(losses['total']), losses
     for leaf in jax.tree.leaves(trainer.state['params']):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gather_annealing_phases(sphere_dataset):
+    """The trainer builds its gather-annealing phase table from
+    sampled_warmup_fraction / exact_final_fraction: warmup runs
+    sampled-backward-1, the main phase the configured options, the tail
+    fully exact gathers — selected on the host by global_step."""
+    field = _small_field(sphere_dataset)
+    wide = FieldConfig(encoding='hg+freq', hidden_dim=32,
+                       hidden_dim_color=32, hidden_dim_semantic=16,
+                       semantic_classes=sphere_dataset.n_classes,
+                       bound=field.config.bound,
+                       grid=HashGridConfig(n_levels=4, n_features=8,
+                                           log2_hashmap_size=12,
+                                           base_resolution=8,
+                                           per_level_scale=1.5))
+    trainer = SimpleTrainer(
+        'ngp', Field(wide), lr=5e-3, iters=1000,
+        loss_options=LossOptions(),
+        render_options=RenderOptions(num_steps=8, perturb=True,
+                                     stochastic_corners=0,
+                                     sampled_backward=2),
+        workspace=None, metrics=False,
+        exact_final_fraction=0.1,
+        sampled_warmup_fraction=0.3)
+    assert [start for start, _ in trainer._phases] == [0, 300, 900]
+    # Without warmup: main phase + exact tail only.
+    trainer2 = SimpleTrainer(
+        'ngp', Field(wide), lr=5e-3, iters=1000,
+        loss_options=LossOptions(),
+        render_options=RenderOptions(num_steps=8, perturb=True,
+                                     stochastic_corners=0,
+                                     sampled_backward=2),
+        workspace=None, metrics=False, exact_final_fraction=0.1)
+    assert [start for start, _ in trainer2._phases] == [0, 900]
+    # All three phases actually execute (each compiles its own step).
+    trainer._phases = [(s, f) for s, f in trainer._phases]
+    trainer.global_step = 298
+    trainer.train_iterations(sphere_dataset, 4)
+    trainer.global_step = 898
+    trainer.train_iterations(sphere_dataset, 4)
+    import jax
+    for leaf in jax.tree.leaves(trainer.state['params']):
+        assert np.isfinite(np.asarray(leaf)).all()
