@@ -26,7 +26,10 @@ ITERS = 30
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=4096)
-    parser.add_argument('--corners', type=int, default=2)
+    parser.add_argument('--corners', type=int, default=0)
+    parser.add_argument('--interp', default='simplex',
+                        choices=['trilinear', 'simplex'])
+    parser.add_argument('--sampled-backward', type=int, default=2)
     flags = parser.parse_args()
 
     import jax
@@ -43,14 +46,15 @@ def main():
         FieldConfig(encoding='hg+freq', hidden_dim=128,
                     hidden_dim_color=128, hidden_dim_semantic=64,
                     semantic_classes=6, bound=2.0, grid=TPU_GRID,
-                    proposal=True))
+                    grid_interp=flags.interp, proposal=True))
     params = field.init(jax.random.PRNGKey(0))
     tx = make_optimizer(params, lr=5e-3, iters=10000)
     opt_state = tx.init(params)
     loss_options = LossOptions()
     options = RenderOptions(num_steps=NUM_STEPS,
                             proposal_steps=PROPOSAL_STEPS, perturb=True,
-                            stochastic_corners=flags.corners)
+                            stochastic_corners=flags.corners,
+                            sampled_backward=flags.sampled_backward)
 
     rng = np.random.default_rng(0)
     n = flags.batch
@@ -106,14 +110,19 @@ def main():
     @jax.jit
     def encode_fwd(table, pts, key):
         return hashgrid_encode(table, pts, TPU_GRID, key=key,
-                               n_samples=max(1, flags.corners)).sum()
+                               n_samples=max(1, flags.corners),
+                               interp=flags.interp,
+                               sampled_backward=flags.sampled_backward
+                               ).sum()
 
     @jax.jit
     def encode_grad(table, pts, key):
         def f(t):
             return hashgrid_encode(t, pts, TPU_GRID, key=key,
-                                   n_samples=max(1,
-                                                 flags.corners)).sum()
+                                   n_samples=max(1, flags.corners),
+                                   interp=flags.interp,
+                                   sampled_backward=flags.sampled_backward
+                                   ).sum()
         return jax.grad(f)(table).sum()
 
     grads = jax.tree.map(jnp.zeros_like, params)
@@ -138,6 +147,8 @@ def main():
                               2),
         'batch': n,
         'corners': flags.corners,
+        'interp': flags.interp,
+        'sampled_backward': flags.sampled_backward,
     }
     print(json.dumps(results))
 
