@@ -162,22 +162,46 @@ class Field:
 
     # -- heads --------------------------------------------------------------
 
+    def _encode_segments(self, params: Params, x, key=None, n_samples=1,
+                         exact_levels=0, residual=False, sampled_backward=0):
+        """Positional encoding as a LIST of segments (same values and
+        column order as encode(), but never concatenated — mlp_apply
+        consumes segments as split matmuls, skipping the padded
+        concat activation; see ops/mlp.mlp_apply)."""
+        c = self.config
+        bound = c.bound
+        normalized = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
+        if c.encoding == 'freq':
+            return [frequency_encode(normalized, 10)]
+        if c.encoding == 'hg':
+            return [self._grid_encode(params['encoder']['grid'], normalized,
+                                      key, n_samples, exact_levels, residual,
+                                      sampled_backward)]
+        if c.encoding == 'hg+freq':
+            return [
+                frequency_encode(x, 2),
+                self._grid_encode(params['encoder']['grid'], normalized,
+                                  key, n_samples, exact_levels, residual,
+                                  sampled_backward)
+            ]
+        raise NotImplementedError(f"Unknown input encoding {c.encoding}")
+
     def density(self, params: Params, x, key=None, n_samples=1,
                 exact_levels=0, residual=False, sampled_backward=0):
         """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
         h = mlp_apply(params['sigma_net'],
-                      self.encode(params, x, key=key, n_samples=n_samples,
-                                  exact_levels=exact_levels,
-                                  residual=residual,
-                                  sampled_backward=sampled_backward))
+                      self._encode_segments(
+                          params, x, key=key, n_samples=n_samples,
+                          exact_levels=exact_levels, residual=residual,
+                          sampled_backward=sampled_backward))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
 
     def color(self, params: Params, d, geo_feat):
         """Unit view dirs (N, 3) + geo features -> rgb (N, 3) in [0, 1]."""
-        h = jnp.concatenate(
-            [sh_encode(d), geo_feat.astype(jnp.float32)], axis=-1)
-        return jax.nn.sigmoid(mlp_apply(params['color_net'], h))
+        return jax.nn.sigmoid(mlp_apply(
+            params['color_net'],
+            [sh_encode(d), geo_feat.astype(jnp.float32)]))
 
     def proposal_sigma(self, params: Params, x):
         """Cheap proposal density: (N, 3) -> (N,). Pure MXU (freq + MLP),
@@ -196,10 +220,10 @@ class Field:
         """
         sem_features = mlp_apply(params['semantic_features'],
                                  geo_feat.astype(jnp.float32))
-        h = jnp.concatenate(
-            [jnp.maximum(sem_features, 0.0),
-             geo_feat.astype(jnp.float32)], axis=-1)
-        return mlp_apply(params['semantic_out'], h), sem_features
+        logits = mlp_apply(params['semantic_out'],
+                           [jnp.maximum(sem_features, 0.0),
+                            geo_feat.astype(jnp.float32)])
+        return logits, sem_features
 
     # -- param groups --------------------------------------------------------
 

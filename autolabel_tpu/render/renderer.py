@@ -118,8 +118,18 @@ def sample_pdf(z_mid, weights, n_samples, key):
     """Inverse-CDF importance sampling over coarse-pass weights.
 
     z_mid: (N, S-1) bin centers; weights: (N, S-1).
-    Returns (N, n_samples) new depths. The searchsorted is done as a dense
-    comparison matrix — S is small and the VPU eats it.
+    Returns (N, n_samples) new depths: each u lands in the atom whose
+    cumulative-mass interval contains it and returns that atom's
+    (jittered) bin center — nearest-atom inverse-CDF sampling; the
+    per-step perturbation of the proposal sample positions is what
+    smooths the discretization, matching the stratified-jitter scheme.
+
+    Gather-free on purpose: z_mid is sorted ascending, so selecting atom
+    `#{j : cdf_j <= u} - 1` equals a masked MAX over the (S small) dense
+    comparison matrix. take_along_axis here lowers to per-element
+    gathers that cost real milliseconds per step on TPU (same pathology
+    as ops/encoders._encode_residual's corner selection); the masked
+    reduction is pure VPU work and fuses.
     """
     weights = weights + 1e-5
     pdf = weights / weights.sum(axis=-1, keepdims=True)
@@ -132,21 +142,11 @@ def sample_pdf(z_mid, weights, n_samples, key):
     else:
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples))
 
-    # index of the cdf bin containing each u: (N, n_samples)
-    inds = (u[..., None] >= cdf[..., None, :]).sum(axis=-1)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    z_lo = jnp.take_along_axis(z_mid, jnp.clip(below, 0, z_mid.shape[-1] - 1),
-                               axis=-1)
-    z_hi = jnp.take_along_axis(z_mid, jnp.clip(above - 1, 0,
-                                               z_mid.shape[-1] - 1) + 0,
-                               axis=-1)
-    denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
-    t = (u - cdf_lo) / denom
-    return z_lo + t * (z_hi - z_lo)
+    # z of the selected atom: max over {j : cdf_j <= u} of z_mid_j
+    # (cdf_0 = 0 <= u always, so the -inf fill never survives).
+    selectable = cdf[..., None, :-1] <= u[..., :, None]  # (N, n, S-1)
+    return jnp.where(selectable, z_mid[..., None, :],
+                     -jnp.inf).max(axis=-1)
 
 
 def _interlevel_loss(z_main, d_main, w_main, z_prop, d_prop, w_prop):

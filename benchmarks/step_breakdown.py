@@ -8,6 +8,7 @@ tells round 3 where the remaining milliseconds live.
 Usage: python benchmarks/step_breakdown.py [--batch 4096] [--corners 2]
 """
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -74,6 +75,26 @@ def main():
                           b['direction_norms'], key=key, options=options)
         return compute_losses(out, b, loss_options)[0]
 
+    # Component probes, isolated by XLA dead-code elimination: a loss
+    # that never touches the semantic output drops the semantic head
+    # (and its backward) from the compiled step entirely; a proposal-free
+    # options dataclass drops the proposal MLP + sample_pdf + interlevel
+    # chain while keeping the identical main-field workload.
+    options_noprop = dataclasses.replace(options, proposal_steps=0)
+
+    def loss_fn_noprop(p, b, key):
+        out = render_rays(field, p, b['rays_o'], b['rays_d'],
+                          b['direction_norms'], key=key,
+                          options=options_noprop)
+        return compute_losses(out, b, loss_options)[0]
+
+    def loss_fn_rgbd(p, b, key):
+        out = render_rays(field, p, b['rays_o'], b['rays_d'],
+                          b['direction_norms'], key=key, options=options)
+        rgb = jnp.mean((out['image'] - b['pixels']) ** 2)
+        depth = jnp.mean(jnp.abs(out['depth'] - b['depth']))
+        return rgb + 0.1 * depth + out.get('interlevel', 0.0)
+
     def timed(fn, *args):
         out = None
         for i in range(WARMUP):
@@ -97,7 +118,16 @@ def main():
     def grad_only(p, b, key):
         return jax.value_and_grad(loss_fn)(p, b, key)
 
+    @jax.jit
+    def grad_noprop(p, b, key):
+        return jax.value_and_grad(loss_fn_noprop)(p, b, key)
+
+    @jax.jit
+    def grad_rgbd(p, b, key):
+        return jax.value_and_grad(loss_fn_rgbd)(p, b, key)
+
     fwd_only = jax.jit(loss_fn)
+    fwd_noprop = jax.jit(loss_fn_noprop)
 
     # Bare encode: the flagship's main-field gather workload
     # (batch x num_steps points, k corners).
@@ -125,6 +155,23 @@ def main():
                                    ).sum()
         return jax.grad(f)(table).sum()
 
+    # Head stack in isolation: density + color + semantic over the main
+    # field's per-step point count, grads w.r.t. params (renderer-free) —
+    # separates MLP/encode cost from compositing/proposal machinery.
+    dirs = jnp.tile(batch['rays_d'], (NUM_STEPS, 1))
+
+    @jax.jit
+    def heads_grad(p, pts, dirs, key):
+        def f(p):
+            sigma, geo = field.density(p, pts * 2.0 - 1.0, key=key,
+                                       sampled_backward=flags.
+                                       sampled_backward)
+            rgb = field.color(p, dirs, geo)
+            logits, feats = field.semantic(p, geo)
+            return (sigma.sum() + rgb.sum() + logits.sum()).astype(
+                jnp.float32)
+        return jax.grad(f)(p)
+
     grads = jax.tree.map(jnp.zeros_like, params)
 
     @jax.jit
@@ -136,13 +183,18 @@ def main():
         'full_step_ms': round(timed(full_step, params, opt_state, batch,
                                     key), 2),
         'grad_only_ms': round(timed(grad_only, params, batch, key), 2),
+        'grad_noprop_ms': round(timed(grad_noprop, params, batch, key), 2),
+        'grad_rgbd_ms': round(timed(grad_rgbd, params, batch, key), 2),
         'fwd_only_ms': round(timed(fwd_only, params, batch, key), 2),
+        'fwd_noprop_ms': round(timed(fwd_noprop, params, batch, key), 2),
         'encode_fwd_ms': round(timed(encode_fwd,
                                      params['encoder']['grid'], pts,
                                      key), 2),
         'encode_fwd_bwd_ms': round(timed(encode_grad,
                                          params['encoder']['grid'], pts,
                                          key), 2),
+        'heads_grad_ms': round(timed(heads_grad, params, pts, dirs, key),
+                               2),
         'adam_only_ms': round(timed(adam_only, grads, opt_state, params),
                               2),
         'batch': n,
