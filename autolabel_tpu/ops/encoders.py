@@ -132,6 +132,15 @@ TPU_GRID = HashGridConfig(n_levels=4,
                           per_level_scale=5.04)
 
 
+def parse_sampled_backward(spec):
+    """CLI spec -> sampled_backward value: '2' -> 2, '1,1,2,2' -> tuple
+    of per-level scatter-row counts (coarsest level first), '0' -> 0."""
+    if isinstance(spec, (int, tuple)):
+        return spec
+    parts = [int(p) for p in str(spec).split(',')]
+    return parts[0] if len(parts) == 1 else tuple(parts)
+
+
 def hashgrid_init(key, config, dtype=jnp.float32):
     """Hash table of shape (n_levels, table_size, n_features), U(-1e-4, 1e-4)."""
     shape = (config.n_levels, config.table_size, config.n_features)
@@ -249,13 +258,21 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
             raise NotImplementedError(
                 "sampled_backward is implemented for the wide-row "
                 "(TPU_GRID-shaped) layout only")
-        if sampled_backward not in (1, 2):
+        # int -> every level; tuple -> per-level row counts (coarsest
+        # first), e.g. (1, 1, 2, 2) spends the scatter budget on the
+        # finest levels, whose gradients carry the detail.
+        if isinstance(sampled_backward, int):
+            rows = (int(sampled_backward),) * config.n_levels
+        else:
+            rows = tuple(int(r) for r in sampled_backward)
+        if len(rows) != config.n_levels or any(r not in (1, 2)
+                                               for r in rows):
             raise NotImplementedError(
-                "sampled_backward must be 1 (importance draw) or 2 "
-                "(residual pair)")
+                "sampled_backward must be 1 (importance draw), 2 "
+                "(residual pair), or a per-level tuple of 1/2 with one "
+                f"entry per grid level; got {sampled_backward!r}")
         u = jax.random.uniform(key, (config.n_levels, x.shape[0]))
-        return _encode_sampled_bwd(config, interp, int(sampled_backward),
-                                   table, x, u)
+        return _encode_sampled_bwd(config, interp, rows, table, x, u)
     if residual and key is not None:
         if n_samples != 2:
             raise NotImplementedError(
@@ -494,12 +511,13 @@ def _encode_sampled_bwd(config, interp, bwd_rows, table, x, u):
     """Exact-forward / sampled-backward hash-grid encode (wide rows).
 
     Forward: the exact interpolation (trilinear or simplex). Backward:
-    per (point, level), the cotangent is scattered into `bwd_rows`
-    corner rows drawn via `u` so that E[table gradient] equals the
-    exact gradient (see hashgrid_encode docstring). The x and u
-    cotangents are zero — in this renderer sample positions carry no
-    parameter gradients (z-placement is stop-gradded, renderer.py), so
-    dropping dOut/dx loses nothing.
+    per (point, level), the cotangent is scattered into `bwd_rows[l]`
+    corner rows (a per-level tuple, coarsest first) drawn via `u` so
+    that E[table gradient] equals the exact gradient (see
+    hashgrid_encode docstring). The x and u cotangents are zero — in
+    this renderer sample positions carry no parameter gradients
+    (z-placement is stop-gradded, renderer.py), so dropping dOut/dx
+    loses nothing.
     """
     del u, bwd_rows
     if interp == 'simplex':
@@ -526,7 +544,7 @@ def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
     for l in range(config.n_levels):
         g_l = g[:, l * f:(l + 1) * f]
         offset_fn, weights = _atoms(interp, frac[:, l])
-        if bwd_rows == 2:
+        if bwd_rows[l] == 2:
             # Rao-Blackwellized residual pair (mirrors _encode_residual).
             m = jnp.argmax(weights, axis=0)
             w_m = jnp.max(weights, axis=0)

@@ -52,7 +52,7 @@ def main():
                         'weight corner deterministic + residual draw).')
     parser.add_argument('--sampled-warmup-fraction', type=float,
                         default=0.0)
-    parser.add_argument('--sampled-backward', type=int, default=0,
+    parser.add_argument('--sampled-backward', default='0',
                         help='Exact-forward / sampled-backward gathers '
                         '(1 or 2 scatter rows; overrides --corners).')
     parser.add_argument('--interp', default='trilinear',
@@ -64,7 +64,7 @@ def main():
     from autolabel_tpu import model_utils
     from autolabel_tpu.core.dataset import LenDataset, SceneDataset
     from autolabel_tpu.models.field import Field, FieldConfig
-    from autolabel_tpu.ops.encoders import HashGridConfig
+    from autolabel_tpu.ops.encoders import HashGridConfig, parse_sampled_backward
     from autolabel_tpu.render.renderer import RenderOptions
     from autolabel_tpu.train.loader import PrefetchIterator
     from autolabel_tpu.train.losses import LossOptions
@@ -99,7 +99,7 @@ def main():
             stochastic_corners=flags.corners,
             stochastic_exact_levels=flags.exact_levels,
             stochastic_residual=flags.residual,
-            sampled_backward=flags.sampled_backward),
+            sampled_backward=parse_sampled_backward(flags.sampled_backward)),
         workspace=None, ema_decay=0.95,
         exact_final_fraction=flags.exact_final_fraction,
         sampled_warmup_fraction=flags.sampled_warmup_fraction,

@@ -36,7 +36,7 @@ def main():
                         'stochastic configs.')
     parser.add_argument('--grids', type=str, nargs='*', default=None,
                         help='Subset of layout names to time.')
-    parser.add_argument('--sampled-backward', type=int, default=0,
+    parser.add_argument('--sampled-backward', default='0',
                         help='Exact-forward / sampled-backward gathers '
                         '(1 or 2 scatter rows; overrides --corners).')
     parser.add_argument('--interp', type=str, nargs='*',
@@ -52,7 +52,7 @@ def main():
     import optax
 
     from autolabel_tpu.models.field import Field, FieldConfig
-    from autolabel_tpu.ops.encoders import HashGridConfig
+    from autolabel_tpu.ops.encoders import HashGridConfig, parse_sampled_backward
     from autolabel_tpu.render.renderer import RenderOptions, render_rays
     from autolabel_tpu.train.losses import LossOptions, compute_losses
     from autolabel_tpu.train.optim import make_optimizer
@@ -102,7 +102,7 @@ def main():
                                     stochastic_corners=corners,
                                     stochastic_residual=(flags.residual and
                                                          corners == 2),
-                                    sampled_backward=flags.sampled_backward)
+                                    sampled_backward=parse_sampled_backward(flags.sampled_backward))
 
             def loss_fn(p, batch, key):
                 out = render_rays(field, p, batch['rays_o'],

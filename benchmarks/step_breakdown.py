@@ -30,7 +30,7 @@ def main():
     parser.add_argument('--corners', type=int, default=0)
     parser.add_argument('--interp', default='simplex',
                         choices=['trilinear', 'simplex'])
-    parser.add_argument('--sampled-backward', type=int, default=2)
+    parser.add_argument('--sampled-backward', default='2')
     flags = parser.parse_args()
 
     import jax
@@ -38,11 +38,13 @@ def main():
     import optax
 
     from autolabel_tpu.models.field import Field, FieldConfig
-    from autolabel_tpu.ops.encoders import TPU_GRID, hashgrid_encode
+    from autolabel_tpu.ops.encoders import (TPU_GRID, hashgrid_encode,
+                                            parse_sampled_backward)
     from autolabel_tpu.render.renderer import RenderOptions, render_rays
     from autolabel_tpu.train.losses import LossOptions, compute_losses
     from autolabel_tpu.train.optim import make_optimizer
 
+    sbwd = parse_sampled_backward(flags.sampled_backward)
     field = Field(
         FieldConfig(encoding='hg+freq', hidden_dim=128,
                     hidden_dim_color=128, hidden_dim_semantic=64,
@@ -55,7 +57,7 @@ def main():
     options = RenderOptions(num_steps=NUM_STEPS,
                             proposal_steps=PROPOSAL_STEPS, perturb=True,
                             stochastic_corners=flags.corners,
-                            sampled_backward=flags.sampled_backward)
+                            sampled_backward=sbwd)
 
     rng = np.random.default_rng(0)
     n = flags.batch
@@ -142,7 +144,7 @@ def main():
         return hashgrid_encode(table, pts, TPU_GRID, key=key,
                                n_samples=max(1, flags.corners),
                                interp=flags.interp,
-                               sampled_backward=flags.sampled_backward
+                               sampled_backward=sbwd
                                ).sum()
 
     @jax.jit
@@ -151,7 +153,7 @@ def main():
             return hashgrid_encode(t, pts, TPU_GRID, key=key,
                                    n_samples=max(1, flags.corners),
                                    interp=flags.interp,
-                                   sampled_backward=flags.sampled_backward
+                                   sampled_backward=sbwd
                                    ).sum()
         return jax.grad(f)(table).sum()
 
@@ -164,8 +166,7 @@ def main():
     def heads_grad(p, pts, dirs, key):
         def f(p):
             sigma, geo = field.density(p, pts * 2.0 - 1.0, key=key,
-                                       sampled_backward=flags.
-                                       sampled_backward)
+                                       sampled_backward=sbwd)
             rgb = field.color(p, dirs, geo)
             logits, feats = field.semantic(p, geo)
             return (sigma.sum() + rgb.sum() + logits.sum()).astype(

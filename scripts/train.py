@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from autolabel_tpu import model_utils
 from autolabel_tpu.core.dataset import LenDataset, SceneDataset
+from autolabel_tpu.ops import encoders
 from autolabel_tpu.render.renderer import RenderOptions
 from autolabel_tpu.train.loader import PrefetchIterator
 from autolabel_tpu.train.losses import LossOptions
@@ -70,8 +71,7 @@ def read_args():
                         "8-corner trilinear.")
     parser.add_argument('--no-stochastic-corners', action='store_true',
                         help="Alias for --stochastic-corners 0.")
-    parser.add_argument('--sampled-backward', type=int, default=2,
-                        choices=(0, 1, 2),
+    parser.add_argument('--sampled-backward', default='2',
                         help="Exact-forward / sampled-backward hash "
                         "gathers: the forward interpolates exactly and "
                         "each point/level's gradient scatters into only "
@@ -81,7 +81,9 @@ def read_args():
                         "Takes precedence over --stochastic-corners; "
                         "2 (the default) is quality-parity with fully "
                         "exact training at ~2.7x the step rate "
-                        "(BASELINE.md). 0 disables (exact backward).")
+                        "(BASELINE.md). 0 disables (exact backward). "
+                        "A comma list gives per-level row counts, "
+                        "coarsest first (e.g. 1,1,2,2).")
     parser.add_argument('--stochastic-exact-levels', type=int, default=0,
                         help="With stochastic corners, interpolate this "
                         "many of the finest grid levels exactly.")
@@ -141,7 +143,8 @@ def main():
                                feature_loss=flags.features is not None)
     # Sampled-backward gathers exist for the wide-row (TPU_GRID) layout
     # only; the narrow reference-preset grid trains with exact gathers.
-    sampled_backward = flags.sampled_backward
+    sampled_backward = encoders.parse_sampled_backward(
+        flags.sampled_backward)
     grid_cfg = field.config.grid
     if grid_cfg is None or grid_cfg.n_features % 8 != 0:
         sampled_backward = 0

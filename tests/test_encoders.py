@@ -421,7 +421,7 @@ def test_sampled_backward_forward_is_exact():
 
 
 @pytest.mark.parametrize('interp', ['trilinear', 'simplex'])
-@pytest.mark.parametrize('rows', [1, 2])
+@pytest.mark.parametrize('rows', [1, 2, (1, 2)])
 def test_sampled_backward_gradient_unbiased(interp, rows):
     """E over draws of the sampled-backward table gradient equals the
     exact-interpolation gradient (the estimator is unbiased)."""
@@ -451,7 +451,7 @@ def test_sampled_backward_gradient_unbiased(interp, rows):
     np.testing.assert_allclose(mean, g_exact, atol=0.12)
     # The residual pair (rows=2) must beat the single draw's variance:
     # spot-check that per-draw deviation shrinks.
-    if rows == 2:
+    if rows == 2:  # (tuple specs mix both estimators; skip the check)
         single = np.asarray(grad_fn(table, jax.random.PRNGKey(100)))
         assert np.abs(single - g_exact).max() < np.abs(g_exact).max() + 2.0
 
