@@ -236,8 +236,8 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
     stochastic mass shrinks from 1 to (1 - w_m) — measured variance is
     well below the antithetic estimator (tests/test_encoders.py).
 
-    sampled_backward (1 or 2, requires key): EXACT forward, SAMPLED
-    backward. The forward pass interpolates exactly (all corners
+    sampled_backward (1 or 2, or per-level tuple; requires key): EXACT
+    forward, SAMPLED backward. The forward pass interpolates exactly (all corners
     gathered — cheap on TPU: gathers into a 2^15-row table run at
     ~0.6 ns/row thanks to temporal locality) while a custom VJP
     scatters each point/level's cotangent into only `sampled_backward`
@@ -247,7 +247,9 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
     E[scattered cotangent] equals the exact gradient:
       1 -> one importance draw J ~ w (scatters g, since w_J/p_J = 1),
       2 -> Rao-Blackwellized residual pair (w_m * g into the max-weight
-           corner, (1 - w_m) * g into a residual draw).
+           corner, (1 - w_m) * g into a residual draw),
+      n_atoms (4 simplex / 8 trilinear) -> EXACT scatter on that level
+           (zero variance; useful per-level for the coarse levels).
     Unlike stochastic_corners there is NO forward noise — the loss sees
     the exact field — and the gradient estimator is unbiased with
     variance far below forward sampling at the same row budget. When
@@ -260,16 +262,23 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
                 "(TPU_GRID-shaped) layout only")
         # int -> every level; tuple -> per-level row counts (coarsest
         # first), e.g. (1, 1, 2, 2) spends the scatter budget on the
-        # finest levels, whose gradients carry the detail.
+        # finest levels. A per-level count equal to the interpolation's
+        # atom count (4 simplex / 8 trilinear) scatters EXACTLY on that
+        # level — e.g. (4, 4, 2, 2) keeps the coarse levels' gradients
+        # exact (where the table's global layout is decided; see the
+        # sampled-warmup dead end, NOTES.md) and samples only the fine
+        # ones.
+        n_atoms = 4 if interp == 'simplex' else 8
         if isinstance(sampled_backward, int):
             rows = (int(sampled_backward),) * config.n_levels
         else:
             rows = tuple(int(r) for r in sampled_backward)
-        if len(rows) != config.n_levels or any(r not in (1, 2)
+        if len(rows) != config.n_levels or any(r not in (1, 2, n_atoms)
                                                for r in rows):
             raise NotImplementedError(
                 "sampled_backward must be 1 (importance draw), 2 "
-                "(residual pair), or a per-level tuple of 1/2 with one "
+                f"(residual pair), or {n_atoms} (exact scatter for this "
+                "interpolation), or a per-level tuple of those with one "
                 f"entry per grid level; got {sampled_backward!r}")
         u = jax.random.uniform(key, (config.n_levels, x.shape[0]))
         return _encode_sampled_bwd(config, interp, rows, table, x, u)
@@ -544,7 +553,16 @@ def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
     for l in range(config.n_levels):
         g_l = g[:, l * f:(l + 1) * f]
         offset_fn, weights = _atoms(interp, frac[:, l])
-        if bwd_rows[l] == 2:
+        if bwd_rows[l] >= weights.shape[0]:
+            # Exact scatter: every atom at its exact weight (the true
+            # VJP of the interpolation on this level). Used for coarse
+            # levels whose few distinct rows make the scatter cheap and
+            # whose gradients decide the table's global layout.
+            for ci in range(weights.shape[0]):
+                cot = scatter(cot, l, offset_fn(jnp.full((x.shape[0],), ci,
+                                                         jnp.int32)),
+                              weights[ci], g_l)
+        elif bwd_rows[l] == 2:
             # Rao-Blackwellized residual pair (mirrors _encode_residual).
             m = jnp.argmax(weights, axis=0)
             w_m = jnp.max(weights, axis=0)

@@ -83,7 +83,10 @@ def read_args():
                         "exact training at ~2.7x the step rate "
                         "(BASELINE.md). 0 disables (exact backward). "
                         "A comma list gives per-level row counts, "
-                        "coarsest first (e.g. 1,1,2,2).")
+                        "coarsest first (e.g. 4,4,2,2); a count equal "
+                        "to the interpolation's corner count (4 "
+                        "simplex / 8 trilinear) scatters exactly on "
+                        "that level.")
     parser.add_argument('--stochastic-exact-levels', type=int, default=0,
                         help="With stochastic corners, interpolate this "
                         "many of the finest grid levels exactly.")

@@ -456,6 +456,41 @@ def test_sampled_backward_gradient_unbiased(interp, rows):
         assert np.abs(single - g_exact).max() < np.abs(g_exact).max() + 2.0
 
 
+@pytest.mark.parametrize('interp,n_atoms', [('trilinear', 8),
+                                            ('simplex', 4)])
+def test_sampled_backward_exact_level_gradient(interp, n_atoms):
+    """A per-level row count equal to the atom count scatters the EXACT
+    gradient on that level (zero variance), while other levels stay
+    sampled-unbiased. The exact level's gradient must match the true VJP
+    of the interpolation for every draw."""
+    cfg = HashGridConfig(n_levels=2, n_features=8, log2_hashmap_size=6,
+                         base_resolution=3, per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (12, 3))
+    c = jax.random.normal(jax.random.PRNGKey(5), (12, cfg.out_dim))
+
+    def loss_exact(t):
+        return (hashgrid_encode(t, x, cfg, interp=interp) * c).sum()
+
+    g_exact = np.asarray(jax.grad(loss_exact)(table))
+
+    def loss_sampled(t, k):
+        return (hashgrid_encode(t, x, cfg, key=k, interp=interp,
+                                sampled_backward=(n_atoms, 2)) * c).sum()
+
+    grad_fn = jax.jit(jax.grad(loss_sampled))
+    for seed in (100, 200, 300):
+        g = np.asarray(grad_fn(table, jax.random.PRNGKey(seed)))
+        # Level 0 (exact spec): identical to the true gradient per draw.
+        np.testing.assert_allclose(g[0], g_exact[0], atol=1e-6)
+    # Level 1 (sampled): still unbiased over draws.
+    acc = np.zeros_like(g_exact)
+    n_draws = 2000
+    for i in range(n_draws):
+        acc += np.asarray(grad_fn(table, jax.random.PRNGKey(1000 + i)))
+    np.testing.assert_allclose(acc[1] / n_draws, g_exact[1], atol=0.12)
+
+
 def test_sampled_backward_zero_position_cotangent():
     """No gradient leaks to x (sample positions carry no parameter
     gradients in this renderer; the VJP must return zero for x)."""
