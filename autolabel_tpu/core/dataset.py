@@ -233,7 +233,14 @@ class SceneDataset(BaseDataset):
             size = (int(camera.size[0] / factor), int(camera.size[1] / factor))
         image_count = min(len(self.scene.rgb_paths()),
                           len(self.scene.depth_paths()))
-        self.indices = np.arange(image_count)
+        # Pair frames with poses BY NAME: an SfM front-end may fail to
+        # register some frames, so pose/ can have holes — positional
+        # pairing would silently misalign every later frame.
+        pose_frames = set(getattr(self.scene, 'pose_frames', []))
+        self.indices = np.array([
+            i for i, p in enumerate(self.scene.rgb_paths()[:image_count])
+            if os.path.basename(p).split('.')[0] in pose_frames
+        ], dtype=np.int64)
         super().__init__(batch_size, camera.scale(size))
         self.split = split
         self._load_images()
@@ -247,7 +254,7 @@ class SceneDataset(BaseDataset):
         images, depths, semantics, cameras = [], [], [], []
         color_paths = self.scene.rgb_paths()
         depth_paths = self.scene.depth_paths()
-        poses = self.scene.poses
+        pose_of = dict(zip(self.scene.pose_frames, self.scene.poses))
         size = self.camera.size
 
         for index in self.indices:
@@ -274,8 +281,9 @@ class SceneDataset(BaseDataset):
             else:
                 semantics.append(np.zeros(size[::-1], dtype=np.uint8))
 
+            stem = os.path.basename(color_paths[index]).split('.')[0]
             cameras.append(
-                self._convert_pose(poses[index]).astype(np.float32))
+                self._convert_pose(pose_of[stem]).astype(np.float32))
 
         if self.lazy:
             self.images = LazyImageLoader(images, size, cv2.INTER_NEAREST)

@@ -89,14 +89,17 @@ class Scene:
         raise ValueError("Doesn't appear to be a valid scene.")
 
     def _read_poses(self):
-        """Read pose/*.txt world-to-camera (T_CW) matrices in numeric order."""
+        """Read pose/*.txt world-to-camera (T_CW) matrices in numeric
+        order; records the frame stems in self.pose_frames so consumers
+        can pair poses with images BY NAME (an SfM front-end may fail to
+        register some frames, leaving holes in the pose sequence)."""
+        self.pose_frames = []
         if not os.path.exists(self.pose_path):
             return []
         files = [f for f in os.listdir(self.pose_path) if not f.startswith('.')]
-        return [
-            np.loadtxt(os.path.join(self.pose_path, f))
-            for f in _numeric_sorted(files)
-        ]
+        files = _numeric_sorted(files)
+        self.pose_frames = [f.split('.')[0] for f in files]
+        return [np.loadtxt(os.path.join(self.pose_path, f)) for f in files]
 
     def __iter__(self):
         return iter(zip(self.poses, self.rgb_paths(), self.depth_paths()))

@@ -96,8 +96,15 @@ class ColmapTextModel:
                 params=np.array([float(v) for v in parts[4:]]))
 
     def _read_images(self, path):
-        lines = list(self._data_lines(path))
         # Images come in line pairs: header, then the keypoint triplets.
+        # The body line may legitimately be EMPTY (an image with no
+        # keypoints), so only comment lines are dropped here — dropping
+        # blank lines would desynchronize the header/body pairing.
+        with open(path) as f:
+            lines = [ln.strip() for ln in f
+                     if not ln.lstrip().startswith('#')]
+        while lines and not lines[-1]:
+            lines.pop()
         for header, body in zip(lines[0::2], lines[1::2]):
             parts = header.split()
             image_id = int(parts[0])

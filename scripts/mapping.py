@@ -2,10 +2,16 @@
 raw images.
 
 Pipeline (parity: reference scripts/mapping.py):
-  1. HLoc: SuperPoint features + SuperGlue matches (+ NetVLAD retrieval for
-     >=250 frames) -> COLMAP reconstruction with an OPENCV camera and
-     intrinsics refinement; writes intrinsics/distortion and undistorts
-     rgb + depth. Requires the hloc + pycolmap stack (import-gated).
+  1. SfM backend (--backend):
+     - HLoc: SuperPoint features + SuperGlue matches (+ NetVLAD retrieval
+       for >=250 frames) -> COLMAP reconstruction with an OPENCV camera
+       and intrinsics refinement; writes intrinsics/distortion and
+       undistorts rgb + depth. Requires the hloc + pycolmap stack
+       (import-gated).
+     - CV2Mapping (built-in, no extra deps): KLT/SIFT front-end +
+       incremental SfM + JAX bundle adjustment
+       (autolabel_tpu.mapping) producing the same COLMAP-convention
+       model; picked automatically when hloc is absent.
   2. ScaleEstimation: per-track ratio of sensor depth to SfM depth,
      1-point RANSAC with a median-relative threshold -> metric scale.
   3. PoseSaver: OBB-aligned, recentered AABB from depth point clouds ->
@@ -34,6 +40,18 @@ def read_args():
     parser.add_argument('scene', help="Scene to infer poses for.")
     parser.add_argument('--debug', action='store_true')
     parser.add_argument('--vis', action='store_true')
+    parser.add_argument('--backend', default='auto',
+                        choices=['auto', 'hloc', 'cv2'],
+                        help="SfM front-end: hloc (SuperPoint/SuperGlue/"
+                        "COLMAP, needs the hloc stack) or cv2 (built-in "
+                        "KLT/SIFT + JAX bundle adjustment, "
+                        "autolabel_tpu.mapping). auto picks hloc when "
+                        "importable, cv2 otherwise.")
+    parser.add_argument('--features', default='klt',
+                        choices=['klt', 'sift', 'orb'],
+                        help="cv2 backend front-end: klt tracking for "
+                        "video-like captures (default), descriptor "
+                        "matching for sparse ones.")
     return parser.parse_args()
 
 
@@ -168,6 +186,67 @@ class HLoc:
     def run(self):
         self._run_sfm()
         self._undistort_images()
+
+
+class CV2Mapping:
+    """Built-in SfM: KLT/SIFT front-end + JAX bundle adjustment
+    (autolabel_tpu.mapping). Same contract as HLoc — writes
+    intrinsics.txt / distortion_parameters.txt, a COLMAP text model into
+    tmp_dir for the downstream stages, and the undistorted rgb/depth
+    directories (this backend models a zero-distortion pinhole, so
+    "undistortion" is a copy when raw directories exist)."""
+
+    def __init__(self, tmp_dir, scene, flags):
+        self.tmp_dir = Path(tmp_dir)
+        self.scene = scene
+        self.flags = flags
+
+    def _image_paths(self):
+        if os.path.exists(self.scene.raw_rgb_path):
+            return self.scene.raw_rgb_paths()
+        return self.scene.rgb_paths()
+
+    def _initial_K(self, size):
+        intrinsics = os.path.join(self.scene.path, 'intrinsics.txt')
+        if os.path.exists(intrinsics):
+            return np.loadtxt(intrinsics)[:3, :3], False
+        w, h = size
+        # Standard SfM prior: focal ~ 1.2 * the larger image dimension,
+        # refined by bundle adjustment.
+        f = 1.2 * max(w, h)
+        return np.array([[f, 0, w / 2.0], [0, f, h / 2.0],
+                         [0, 0, 1.0]]), True
+
+    def run(self):
+        from autolabel_tpu.mapping import IncrementalSfM
+        paths = self._image_paths()
+        images = [(os.path.basename(p),
+                   cv2.imread(p, cv2.IMREAD_GRAYSCALE)) for p in paths]
+        size = (images[0][1].shape[1], images[0][1].shape[0])
+        K, refine_focal = self._initial_K(size)
+        sfm = IncrementalSfM(images, K, detector=self.flags.features)
+        sfm.run(refine_focal=refine_focal, verbose=True)
+        n = len(sfm.registered)
+        if n < max(2, len(images) // 2):
+            raise RuntimeError(
+                f"cv2 SfM registered only {n}/{len(images)} frames; "
+                "the capture may lack texture or overlap (try --backend "
+                "hloc on a machine with the hloc stack).")
+        sfm.write_colmap_model(str(self.tmp_dir))
+        np.savetxt(os.path.join(self.scene.path, 'intrinsics.txt'), sfm.K)
+        np.savetxt(os.path.join(self.scene.path,
+                                'distortion_parameters.txt'), np.zeros(4))
+        self._copy_raw()
+
+    def _copy_raw(self):
+        for raw_dir, out_name in ((self.scene.raw_rgb_path, 'rgb'),
+                                  (self.scene.raw_depth_path, 'depth')):
+            if not os.path.exists(raw_dir):
+                continue
+            out = os.path.join(self.scene.path, out_name)
+            os.makedirs(out, exist_ok=True)
+            for p in sorted(os.listdir(raw_dir)):
+                shutil.copy(os.path.join(raw_dir, p), os.path.join(out, p))
 
 
 def ransac_scale(scales, iterations=10000, seed=None):
@@ -342,9 +421,23 @@ class Pipeline:
         self.flags = flags
         self.scene = Scene(flags.scene)
 
+    def _pick_backend(self):
+        if self.flags.backend == 'cv2':
+            return CV2Mapping
+        if self.flags.backend == 'hloc':
+            return HLoc
+        try:
+            import hloc  # noqa: F401
+            import pycolmap  # noqa: F401
+            return HLoc
+        except ImportError:
+            print("hloc/pycolmap not available; using the built-in cv2 "
+                  "SfM backend (--backend cv2).")
+            return CV2Mapping
+
     def run(self):
-        hloc = HLoc(self.tmp_dir, self.scene, self.flags)
-        hloc.run()
+        mapper = self._pick_backend()(self.tmp_dir, self.scene, self.flags)
+        mapper.run()
 
         # Camera intrinsics might have changed, reload the scene.
         self.scene = Scene(self.scene.path)

@@ -1,0 +1,184 @@
+"""cv2+JAX SfM backend: bundle-adjustment solver and end-to-end mapping.
+
+The reference reaches SfM through hloc/pycolmap (reference
+scripts/mapping.py:25-141); this backend (autolabel_tpu/mapping/) is the
+self-contained equivalent and these tests prove it EXECUTES: the LM
+solver recovers a known geometry, and the full incremental pipeline
+recovers a synthetic capture's trajectory.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+cv2 = pytest.importorskip('cv2')
+
+
+def _random_rotation(rng):
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q
+
+
+def _make_ba_problem(rng, n_cams=6, n_pts=120, noise_px=0.0):
+    """Cameras on a ring looking at points scattered around the origin."""
+    from autolabel_tpu.mapping.ba import rodrigues
+    points = rng.uniform(-1, 1, size=(n_pts, 3))
+    rvecs, tvecs = [], []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        center = np.array([3 * np.cos(ang), 3 * np.sin(ang), 1.0])
+        z = -center / np.linalg.norm(center)  # look at origin
+        x = np.cross(np.array([0, 0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])  # world->camera rows
+        rv = cv2.Rodrigues(R)[0].ravel()
+        rvecs.append(rv)
+        tvecs.append(-R @ center)
+    rvecs, tvecs = np.stack(rvecs), np.stack(tvecs)
+    intr = (500.0, 500.0, 320.0, 240.0)
+
+    R_all = np.asarray(rodrigues(rvecs))
+    cam_idx = np.repeat(np.arange(n_cams), n_pts)
+    pt_idx = np.tile(np.arange(n_pts), n_cams)
+    Xc = np.einsum('nij,nj->ni', R_all[cam_idx], points[pt_idx]) \
+        + tvecs[cam_idx]
+    uv = Xc[:, :2] / Xc[:, 2:3]
+    xy = uv * np.array([intr[0], intr[1]]) + np.array([intr[2], intr[3]])
+    xy = xy + rng.normal(scale=noise_px, size=xy.shape)
+    return rvecs, tvecs, points, intr, cam_idx, pt_idx, xy
+
+
+def test_rodrigues_matches_cv2():
+    from autolabel_tpu.mapping.ba import rodrigues
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        rv = rng.normal(size=3)
+        np.testing.assert_allclose(np.asarray(rodrigues(rv)),
+                                   cv2.Rodrigues(rv)[0], atol=1e-5)
+    # Small-angle branch.
+    np.testing.assert_allclose(np.asarray(rodrigues(np.zeros(3))),
+                               np.eye(3), atol=1e-7)
+
+
+def test_bundle_adjust_recovers_perturbed_geometry():
+    """Perturb a perfect BA problem's poses and points; LM must pull the
+    reprojection rms from tens of pixels back to ~the noise floor."""
+    from autolabel_tpu.mapping.ba import bundle_adjust
+    rng = np.random.default_rng(1)
+    rvecs, tvecs, points, intr, ci, pi, xy = _make_ba_problem(rng)
+
+    rv0 = rvecs + rng.normal(scale=0.01, size=rvecs.shape)
+    tv0 = tvecs + rng.normal(scale=0.05, size=tvecs.shape)
+    pt0 = points + rng.normal(scale=0.05, size=points.shape)
+    rv0[0], tv0[0] = rvecs[0], tvecs[0]  # gauge anchor stays truthful
+
+    rv, tv, pt, intr_out, rms = bundle_adjust(rv0, tv0, pt0, intr, ci, pi,
+                                              xy, max_iters=40)
+    assert rms < 0.05, rms
+    assert intr_out[0] == intr[0]  # focal not refined by default
+
+
+def _umeyama(src, dst):
+    """Sim(3) aligning src -> dst; returns (s, R, t)."""
+    mus, mud = src.mean(0), dst.mean(0)
+    sc, dc = src - mus, dst - mud
+    cov = dc.T @ sc / len(src)
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.diag([1.0, 1.0, d])
+    R = U @ D @ Vt
+    var = (sc ** 2).sum() / len(src)
+    s = (S * np.diag(D)).sum() / var
+    return s, R, mud - s * R @ mus
+
+
+def test_mapping_pipeline_end_to_end(tmp_path):
+    """Full scripts/mapping.py run with the cv2 backend on a synthetic
+    capture (poses withheld): SfM + JAX BA recover the trajectory, the
+    depth-based scale estimation restores METRIC scale, and PoseSaver
+    writes pose/*.txt + bbox.txt a NeRF can train on. Parity target:
+    reference scripts/mapping.py:155-179 (which needs hloc+COLMAP)."""
+    import shutil
+    import cv2 as _cv2
+    from room import _look_at, render_room_frame
+
+    scene = tmp_path / 'capture'
+    (scene / 'raw_rgb').mkdir(parents=True)
+    (scene / 'raw_depth').mkdir()
+    w, h, n = 400, 300, 26
+    focal = 0.75 * w
+    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
+    np.savetxt(scene / 'intrinsics.txt', K)
+    gt_T_CW = {}
+    for i in range(n):
+        ang = np.pi / 3 * i / n
+        pos = np.array([0.95 * np.cos(ang), 0.95 * np.sin(ang),
+                        0.9 + 0.1 * np.sin(2 * ang)])
+        T_WC = _look_at(pos, np.array([-0.8, -0.3, 0.7]))
+        rgb, depth, _ = render_room_frame(T_WC, K, w, h)
+        _cv2.imwrite(str(scene / 'raw_rgb' / f'{i}.png'),
+                     _cv2.cvtColor((rgb * 255).astype(np.uint8),
+                                   _cv2.COLOR_RGB2BGR))
+        _cv2.imwrite(str(scene / 'raw_depth' / f'{i}.png'),
+                     (depth * 1000).astype(np.uint16))
+        gt_T_CW[i] = np.linalg.inv(T_WC)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, 'scripts'))
+    import mapping as mapping_cli
+
+    import types
+    flags = types.SimpleNamespace(scene=str(scene), debug=False, vis=False,
+                                  backend='cv2', features='klt')
+    mapping_cli.Pipeline(flags).run()
+
+    assert (scene / 'bbox.txt').exists()
+    pose_files = sorted((scene / 'pose').glob('*.txt'),
+                        key=lambda p: int(p.stem))
+    assert len(pose_files) >= n - 4, [p.name for p in pose_files]
+
+    est_C, gt_C = [], []
+    for p in pose_files:
+        T_CW = np.loadtxt(p)
+        i = int(p.stem)
+        est_C.append(-T_CW[:3, :3].T @ T_CW[:3, 3])
+        gt_C.append(-gt_T_CW[i][:3, :3].T @ gt_T_CW[i][:3, 3])
+    est_C, gt_C = np.stack(est_C), np.stack(gt_C)
+    s, R, t = _umeyama(est_C, gt_C)
+    err = np.linalg.norm(gt_C - (s * est_C @ R.T + t), axis=1)
+    # Metric scale restored by the depth/RANSAC stage: the residual
+    # Sim(3) scale must be ~1 (the raw SfM scale here is ~6.6x off, so
+    # anything near 1 proves the metric stage worked; the tolerance
+    # absorbs low-frequency drift biasing the thin-arc Umeyama fit).
+    assert 0.6 < s < 1.5, s
+    # Trajectory recovered: mean center error ~2 orders of magnitude
+    # below the 3 m room scale, measured against a ~1 m camera arc.
+    assert err.mean() < 0.15, err.mean()
+
+    bbox = np.loadtxt(scene / 'bbox.txt')[:6].reshape(2, 3)
+    extent = bbox[1] - bbox[0]
+    # Depth sees the whole 3 x 3 x 2.4 room; OBB extents are axis-sorted
+    # by PCA, so just require a room-sized, non-degenerate box.
+    assert (extent > 1.0).all() and (extent < 6.0).all(), extent
+
+
+def test_bundle_adjust_refine_focal():
+    """With a wrong focal and refine_focal=True the shared focal scale
+    must move toward the truth."""
+    from autolabel_tpu.mapping.ba import bundle_adjust
+    rng = np.random.default_rng(2)
+    rvecs, tvecs, points, intr, ci, pi, xy = _make_ba_problem(rng)
+    wrong = (intr[0] * 1.1, intr[1] * 1.1, intr[2], intr[3])
+    rv, tv, pt, intr_out, rms = bundle_adjust(
+        rvecs, tvecs, points, wrong, ci, pi, xy, max_iters=40,
+        refine_focal=True)
+    assert abs(intr_out[0] - intr[0]) < abs(wrong[0] - intr[0]) * 0.2, \
+        intr_out
+    assert rms < 0.5, rms
