@@ -169,6 +169,30 @@ def test_mapping_pipeline_end_to_end(tmp_path):
     assert (extent > 1.0).all() and (extent < 6.0).all(), extent
 
 
+def test_sfm_descriptor_frontend():
+    """The SIFT descriptor front-end (sparse captures, no frame-to-frame
+    tracking) reconstructs a short sequence: covers _build_tracks /
+    _match_pair / conflict-refusing union-find, which the KLT e2e test
+    bypasses."""
+    from room import _look_at, render_room_frame
+    from autolabel_tpu.mapping import IncrementalSfM
+    w, h, n = 400, 300, 12
+    focal = 0.75 * w
+    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
+    imgs = []
+    for i in range(n):
+        ang = np.pi / 5 * i / n
+        pos = np.array([0.95 * np.cos(ang), 0.95 * np.sin(ang), 0.9])
+        T_WC = _look_at(pos, np.array([-0.8, -0.3, 0.7]))
+        rgb, _, _ = render_room_frame(T_WC, K, w, h)
+        imgs.append((f'{i}.png',
+                     cv2.cvtColor((rgb * 255).astype(np.uint8),
+                                  cv2.COLOR_RGB2GRAY)))
+    sfm = IncrementalSfM(imgs, K, detector='sift').run()
+    assert len(sfm.registered) >= 8, sorted(sfm.registered)
+    assert sfm.ba_rms_px < 4.0, sfm.ba_rms_px
+
+
 def test_bundle_adjust_refine_focal():
     """With a wrong focal and refine_focal=True the shared focal scale
     must move toward the truth."""
