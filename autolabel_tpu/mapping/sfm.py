@@ -330,15 +330,41 @@ class IncrementalSfM:
             tid += 1
 
     # ------------------------------------------------------ registration
-    def _init_pair(self, min_parallax_deg=3.0):
-        """Initialization pair: enough verified matches AND enough
-        parallax. A small-baseline pair makes the essential matrix pure
-        noise and collapses the whole reconstruction into a
-        rotation-only local minimum (COLMAP guards init the same way:
-        by median triangulation angle)."""
+    def _init_pair(self, min_parallax_deg=3.0, max_h_ratio=0.85):
+        """Initialization pair: enough verified matches, enough parallax,
+        AND not homography-degenerate. A small-baseline pair makes the
+        essential matrix pure noise and collapses the whole
+        reconstruction into a rotation-only local minimum. The
+        triangulation-angle gate alone is NOT sufficient: at a
+        near-zero baseline the triangulated depths are noise-dominated
+        and the measured angles are spuriously LARGE (adjacent video
+        frames measure >3 deg median on ~1 deg true parallax), so a
+        degenerate pair can win the scan and seed a torn, ghost-branch
+        reconstruction. The homography test is the discriminator
+        (ORB-SLAM's model selection / COLMAP's init gating): when one H
+        explains nearly all verified matches the pair is either
+        baseline-free or a pure plane — useless for initialization
+        either way."""
+        # Adjacent video frames are never useful init pairs: their true
+        # parallax sits at the keypoint-noise floor, and on periodic
+        # textures coherently aliased tracks can fabricate a
+        # large-baseline geometry that passes every per-pair test
+        # (measured on the checkered room fixture: adjacent pairs with
+        # ~1 deg true parallax score 3-6 deg). Prefer pairs at least 3
+        # frames apart; the close pairs remain as a last resort.
         scored = sorted(self.pair_matches.items(),
-                        key=lambda kv: len(kv[1]), reverse=True)
+                        key=lambda kv: (kv[0][1] - kv[0][0] >= 3,
+                                        len(kv[1])),
+                        reverse=True)
         best = None
+
+        def better(cand, incumbent):
+            if incumbent is None:
+                return True
+            # Prefer non-degenerate, then widest parallax.
+            return (not cand[5], cand[4]) > (not incumbent[5],
+                                             incumbent[4])
+
         for (i, j), m in scored:
             pts_i = self.kps[i][m[:, 0]]
             pts_j = self.kps[j][m[:, 1]]
@@ -351,6 +377,12 @@ class IncrementalSfM:
                                               mask=inl.copy())
             if n_good < self.min_pair_inliers:
                 continue
+            degenerate = False
+            if len(m) >= 8:
+                H, h_inl = cv2.findHomography(pts_i, pts_j, cv2.RANSAC,
+                                              1.5)
+                degenerate = (H is not None and h_inl is not None
+                              and h_inl.sum() > max_h_ratio * len(m))
             # Median triangulation angle of the pair's inlier points at
             # the recovered (unit-baseline) geometry.
             P1 = self.K @ np.eye(3, 4)
@@ -365,16 +397,17 @@ class IncrementalSfM:
                                  1e-12)
             ang = np.degrees(np.arccos(np.clip((r1 * r2).sum(1), -1, 1)))
             parallax = float(np.median(ang))
-            if parallax >= min_parallax_deg:
-                best = (i, j, R, t, parallax)
+            if parallax >= min_parallax_deg and not degenerate:
+                best = (i, j, R, t, parallax, degenerate)
                 break
-            if best is None or parallax > best[-1]:
-                best = (i, j, R, t, parallax)  # widest-parallax fallback
+            cand = (i, j, R, t, parallax, degenerate)
+            if better(cand, best):
+                best = cand  # fallback: non-degenerate, widest parallax
         if best is None:
             raise RuntimeError(
                 'SfM initialization failed: no image pair with enough '
                 'verified matches (is the capture textured?)')
-        i, j, R, t, _ = best
+        i, j, R, t, _, _ = best
         self.registered[i] = (np.eye(3), np.zeros(3))
         self.registered[j] = (R, t.ravel())
         self._triangulate_tracks(
@@ -635,6 +668,43 @@ class IncrementalSfM:
                 dropped += 1
         return dropped
 
+    def _drop_tear_frames(self, factor=5.0):
+        """Detect trajectory TEARS — displaced sub-maps that reproject
+        their own (e.g. periodic-texture-aliased) tracks perfectly, so
+        neither the reprojection-based pose-outlier drop nor the
+        annealed-Huber BA can heal them. On a continuous capture the
+        per-frame-gap-normalized center step is tightly distributed; a
+        step many times the median marks a tear. Drop the frames outside
+        the largest contiguous component (plus the structure only they
+        support) so the second-chance growth pass can re-register them
+        against the majority geometry."""
+        regs = sorted(self.registered)
+        if len(regs) < 6:
+            return 0
+        C = np.stack([self._center(f) for f in regs])
+        steps = np.linalg.norm(np.diff(C, axis=0), axis=1)
+        norm = steps / np.maximum(np.diff(regs), 1)
+        med = float(np.median(norm))
+        cuts = [k for k in range(len(norm))
+                if norm[k] > factor * max(med, 1e-12)]
+        if not cuts:
+            return 0
+        bounds = [0] + [k + 1 for k in cuts] + [len(regs)]
+        comps = [regs[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+        keep = set(max(comps, key=len))
+        dropped = 0
+        for f in regs:
+            if f not in keep:
+                del self.registered[f]
+                dropped += 1
+        if dropped:
+            for tid in list(self.points):
+                views = sum(1 for fr in self.tracks[tid]
+                            if fr in self.registered)
+                if views < 2:
+                    self.points.pop(tid, None)
+        return dropped
+
     def _grow(self, refine_focal, ba_every):
         since_ba = 0
         while True:
@@ -681,6 +751,16 @@ class IncrementalSfM:
         self._run_ba(refine_focal=refine_focal, max_iters=30)
         if self._prune_outliers() > 0:
             self._run_ba(refine_focal=refine_focal, max_iters=20)
+        # Tears (displaced sub-maps held together by aliased tracks)
+        # survive everything above; excise and re-grow against the
+        # majority geometry.
+        if self._drop_tear_frames() > 0:
+            self.failed.clear()
+            self._grow(refine_focal, ba_every)
+            self._triangulate_tracks(list(self.tracks))
+            self._run_ba(refine_focal=refine_focal, max_iters=30)
+            if self._prune_outliers() > 0:
+                self._run_ba(refine_focal=refine_focal, max_iters=20)
         if verbose:
             print(f'SfM: {len(self.registered)}/{len(self.images)} frames, '
                   f'{len(self.points)} points, '
