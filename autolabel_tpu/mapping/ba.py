@@ -25,25 +25,28 @@ import numpy as np
 
 
 def rodrigues(rvec):
-    """Rodrigues vector(s) (..., 3) -> rotation matrix (..., 3, 3)."""
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
-    safe = jnp.maximum(theta, 1e-12)
-    k = rvec / safe
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    """Rodrigues vector(s) (..., 3) -> rotation matrix (..., 3, 3).
+
+    Written in the UNNORMALIZED form R = I + A·K + B·K² with
+    K = skew(rvec), A = sinθ/θ, B = (1−cosθ)/θ², Taylor-switched near
+    zero — this keeps the function differentiable AT θ = 0 (the
+    axis-normalized form has a 0/0 in ∂θ/∂rvec there, which poisons
+    pose-refinement gradients whose deltas start at exactly zero;
+    train/pose_refine.py)."""
+    kx, ky, kz = rvec[..., 0], rvec[..., 1], rvec[..., 2]
     zero = jnp.zeros_like(kx)
     K = jnp.stack([
         jnp.stack([zero, -kz, ky], axis=-1),
         jnp.stack([kz, zero, -kx], axis=-1),
         jnp.stack([-ky, kx, zero], axis=-1),
     ], axis=-2)
-    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
-    t = theta[..., None]
-    sin, cos = jnp.sin(t), jnp.cos(t)
-    R = eye + sin * K + (1.0 - cos) * (K @ K)
-    # theta -> 0: R -> I + K*theta (first order); the formula above is
-    # numerically fine at small theta because sin/theta terms are folded
-    # into K via the normalized axis — guard only the exact-zero case.
-    return jnp.where(t < 1e-12, eye + K * t, R)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
+    t2 = (rvec * rvec).sum(-1)[..., None, None]  # theta^2, smooth at 0
+    th = jnp.sqrt(jnp.maximum(t2, 1e-12))  # safe: untaken-branch grads finite
+    small = t2 < 1e-8
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / (th * th))
+    return eye + A * K + B * (K @ K)
 
 
 def _project(rvecs, tvecs, points, intr, cam_idx, pt_idx):

@@ -119,22 +119,33 @@ class Field:
     # -- encodings ---------------------------------------------------------
 
     def _grid_encode(self, table, normalized, key=None, n_samples=1,
-                     exact_levels=0, residual=False, sampled_backward=0):
+                     exact_levels=0, residual=False, sampled_backward=0,
+                     level_window=None):
         c = self.config
         if (c.grid_impl == 'pallas' and key is None
                 and c.grid_interp == 'trilinear'):
             from autolabel_tpu.ops.hashgrid_pallas import (
                 hashgrid_encode_hybrid)
-            return hashgrid_encode_hybrid(table, normalized, c.grid_config)
-        return hashgrid_encode(table, normalized, c.grid_config, key=key,
-                               n_samples=n_samples,
-                               exact_levels=exact_levels,
-                               interp=c.grid_interp,
-                               residual=residual,
-                               sampled_backward=sampled_backward)
+            out = hashgrid_encode_hybrid(table, normalized, c.grid_config)
+        else:
+            out = hashgrid_encode(table, normalized, c.grid_config, key=key,
+                                  n_samples=n_samples,
+                                  exact_levels=exact_levels,
+                                  interp=c.grid_interp,
+                                  residual=residual,
+                                  sampled_backward=sampled_backward)
+        if level_window is not None:
+            # BARF-style coarse-to-fine window (renderer.RenderOptions
+            # .level_window): scale each level's feature block; a zero
+            # freezes that level's table (zero gradient) entirely.
+            w = jnp.repeat(jnp.asarray(level_window, out.dtype),
+                           c.grid_config.n_features)
+            out = out * w
+        return out
 
     def encode(self, params: Params, x, key=None, n_samples=1,
-               exact_levels=0, residual=False, sampled_backward=0):
+               exact_levels=0, residual=False, sampled_backward=0,
+               level_window=None):
         """Positional encoding of (N, 3) points in [-bound, bound].
 
         key: optional PRNG key for stochastic-corner hash-grid gathers
@@ -149,21 +160,22 @@ class Field:
         if c.encoding == 'hg':
             return self._grid_encode(params['encoder']['grid'], normalized,
                                      key, n_samples, exact_levels, residual,
-                                     sampled_backward)
+                                     sampled_backward, level_window)
         if c.encoding == 'hg+freq':
             # Frequency part runs on the raw coordinates, grid on the
             # normalized ones (parity: autolabel/models.py:51-59).
             freq = frequency_encode(x, 2)
             grid = self._grid_encode(params['encoder']['grid'], normalized,
                                      key, n_samples, exact_levels, residual,
-                                     sampled_backward)
+                                     sampled_backward, level_window)
             return jnp.concatenate([freq, grid], axis=-1)
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
     # -- heads --------------------------------------------------------------
 
     def _encode_segments(self, params: Params, x, key=None, n_samples=1,
-                         exact_levels=0, residual=False, sampled_backward=0):
+                         exact_levels=0, residual=False, sampled_backward=0,
+                         level_window=None):
         """Positional encoding as a LIST of segments (same values and
         column order as encode(), but never concatenated — mlp_apply
         consumes segments as split matmuls, skipping the padded
@@ -176,24 +188,26 @@ class Field:
         if c.encoding == 'hg':
             return [self._grid_encode(params['encoder']['grid'], normalized,
                                       key, n_samples, exact_levels, residual,
-                                      sampled_backward)]
+                                      sampled_backward, level_window)]
         if c.encoding == 'hg+freq':
             return [
                 frequency_encode(x, 2),
                 self._grid_encode(params['encoder']['grid'], normalized,
                                   key, n_samples, exact_levels, residual,
-                                  sampled_backward)
+                                  sampled_backward, level_window)
             ]
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
     def density(self, params: Params, x, key=None, n_samples=1,
-                exact_levels=0, residual=False, sampled_backward=0):
+                exact_levels=0, residual=False, sampled_backward=0,
+                level_window=None):
         """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
         h = mlp_apply(params['sigma_net'],
                       self._encode_segments(
                           params, x, key=key, n_samples=n_samples,
                           exact_levels=exact_levels, residual=residual,
-                          sampled_backward=sampled_backward))
+                          sampled_backward=sampled_backward,
+                          level_window=level_window))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
 
@@ -229,10 +243,12 @@ class Field:
 
     @staticmethod
     def param_labels(params: Params):
-        """'encoding' / 'net' labels for optimizer groups (weight decay is
-        applied to the nets only; parity: scripts/train.py:50-63)."""
+        """'encoding' / 'net' / 'pose' labels for optimizer groups
+        (weight decay is applied to the nets only; parity:
+        scripts/train.py:50-63; 'pose' = camera-refinement deltas,
+        also decay-free)."""
+        special = {'encoder': 'encoding', 'pose': 'pose'}
         return {
-            key: jax.tree.map(lambda _: 'encoding'
-                              if key == 'encoder' else 'net', value)
+            key: jax.tree.map(lambda _: special.get(key, 'net'), value)
             for key, value in params.items()
         }

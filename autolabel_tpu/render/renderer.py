@@ -68,6 +68,13 @@ class RenderOptions:
     # at least one probe hits occupied space.
     occupancy_near_far: bool = False
     occupancy_probes: int = 32
+    # Per-grid-level output scales (len == n_levels) — the BARF-style
+    # coarse-to-fine window for joint pose refinement: with only coarse
+    # levels active the field CANNOT absorb a sub-cell camera
+    # misalignment, keeping the photometric pose gradient informative;
+    # fine levels are enabled phase by phase (train/pose_refine.py).
+    # None = all levels active.
+    level_window: tuple = None
 
 
 def ray_aabb_intersect(rays_o, rays_d, bound, min_near=MIN_NEAR):
@@ -245,7 +252,8 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
                                    exact_levels=options.
                                    stochastic_exact_levels,
                                    residual=options.stochastic_residual,
-                                   sampled_backward=options.sampled_backward)
+                                   sampled_backward=options.sampled_backward,
+                                   level_window=options.level_window)
         if occupancy is not None:
             density_grid, trained_mask, threshold = occupancy
             r = density_grid.shape[0]

@@ -10,6 +10,7 @@ GradScaler entirely.
 import math
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from autolabel_tpu.models.field import Field
@@ -40,11 +41,26 @@ def make_optimizer(params, lr=5e-3, iters=None, weight_decay=1e-6):
     inf within a few dozen steps.
     """
     labels = Field.param_labels(params)
-    tx = optax.chain(
+    chain = [
         optax.masked(optax.add_decayed_weights(weight_decay),
                      {k: jax.tree.map(lambda l: l == 'net', v)
                       for k, v in labels.items()}),
         optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
         optax.scale_by_learning_rate(lr_schedule(lr, iters)),
-    )
+    ]
+    if 'pose' in params:
+        # Camera-refinement deltas (train/pose_refine.py) need a far
+        # gentler schedule than the field: Adam normalizes step sizes,
+        # so at the field lr the poses random-walk away faster than the
+        # photometric gradient can steer them, and before the field has
+        # formed there is no steering signal at all. Freeze the poses
+        # for the first 10% of training, then step them at 1/10 lr.
+        warmup = max((iters or 10000) // 10, 100)
+        pose_mask = {k: jax.tree.map(lambda l: l == 'pose', v)
+                     for k, v in labels.items()}
+        chain.append(optax.masked(
+            optax.scale_by_schedule(
+                lambda count: jnp.where(count < warmup, 0.0, 0.1)),
+            pose_mask))
+    tx = optax.chain(*chain)
     return optax.apply_if_finite(tx, max_consecutive_errors=100)

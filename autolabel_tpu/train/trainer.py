@@ -28,13 +28,21 @@ _BATCH_KEYS = ('rays_o', 'rays_d', 'direction_norms', 'pixels', 'depth',
 
 
 def _make_step(field, tx, loss_options, render_options,
-               occupancy_threshold=None):
+               occupancy_threshold=None, pose_init=None):
     """Build the jitted train step: (state, batch, key[, occ]) ->
-    (state, losses)."""
+    (state, losses). With pose_init=(R0, t0), params['pose'] carries
+    per-frame SE(3) deltas and the rays are rebuilt from the refined
+    poses inside the step (train/pose_refine.py)."""
 
     def loss_fn(params, batch, key, occupancy):
-        outputs = render_rays(field, params, batch['rays_o'],
-                              batch['rays_d'], batch['direction_norms'],
+        rays_o, rays_d = batch['rays_o'], batch['rays_d']
+        if pose_init is not None:
+            from autolabel_tpu.train.pose_refine import refined_rays
+            rays_o, rays_d = refined_rays(params['pose'], pose_init,
+                                          batch['frame_idx'],
+                                          batch['rays_d_cam'])
+        outputs = render_rays(field, params, rays_o,
+                              rays_d, batch['direction_norms'],
                               key=key, options=render_options,
                               occupancy=occupancy)
         return compute_losses(outputs, batch, loss_options)
@@ -89,6 +97,7 @@ class SimpleTrainer:
                  exact_final_fraction=0.1,
                  sampled_warmup_fraction=0.0,
                  metrics=True,
+                 pose_refine=None,
                  seed=0):
         self.name = name
         self.field = field
@@ -105,6 +114,25 @@ class SimpleTrainer:
                                if metrics and workspace is not None else None)
 
         params = field.init(jax.random.PRNGKey(seed))
+        # Joint camera refinement: pose_refine = (R0 (N,3,3) cam->world,
+        # t0 (N,3) centers) from the dataset; per-frame SE(3) deltas
+        # join the parameter pytree (train/pose_refine.py) and train
+        # under the same Adam step as the field.
+        self._pose_init = None
+        if pose_refine is not None:
+            from autolabel_tpu.train.pose_refine import init_pose_params
+            R0, t0 = pose_refine
+            self._pose_init = (jnp.asarray(R0, jnp.float32),
+                               jnp.asarray(t0, jnp.float32))
+            params = dict(params, pose=init_pose_params(len(t0)))
+            # Pose gradients flow through dField/dPosition; the
+            # sampled-backward and stochastic-corner estimators drop the
+            # position cotangent (their custom VJPs scatter table
+            # gradients only), so camera refinement requires exact
+            # gathers.
+            self.render_options = dataclasses.replace(
+                self.render_options, stochastic_corners=0,
+                sampled_backward=0)
         self.tx = make_optimizer(params, lr=lr, iters=iters)
         self.state = {
             'params': params,
@@ -144,6 +172,24 @@ class SimpleTrainer:
                 dataclasses.replace(self.render_options,
                                     stochastic_corners=0,
                                     sampled_backward=0))
+        if (self._pose_init is not None and iters is not None
+                and field.config.grid_config is not None):
+            # BARF-style coarse-to-fine for joint pose refinement: the
+            # hash grid absorbs a sub-cell camera misalignment within a
+            # few hundred steps, after which the photometric loss is
+            # MINIMIZED at the wrong poses (measured; NOTES.md). Gate
+            # the fine levels in over the first half of training so the
+            # field stays too coarse to co-adapt while the poses move.
+            L = field.config.grid_config.n_levels
+            phase_starts = [int(iters * 0.5 * k / L) for k in range(L)]
+            phase_options = [
+                dataclasses.replace(
+                    self.render_options,
+                    level_window=(1.0,) * (k + 1) + (0.0,) * (L - 1 - k))
+                for k in range(L)
+            ]
+            phase_starts.append(int(iters * 0.5))
+            phase_options.append(self.render_options)
 
         occupancy_threshold = (occupancy.config.threshold
                                if occupancy is not None else None)
@@ -183,7 +229,8 @@ class SimpleTrainer:
             (start,
              _jit_step(
                  _make_step(field, self.tx, self.loss_options, options,
-                            occupancy_threshold=occupancy_threshold)))
+                            occupancy_threshold=occupancy_threshold,
+                            pose_init=self._pose_init)))
             for start, options in zip(phase_starts, phase_options)
         ]
         self._train_step = self._phases[0][1]
@@ -250,6 +297,9 @@ class SimpleTrainer:
         batch = {k: data[k] for k in _BATCH_KEYS}
         if self.loss_options.feature_loss:
             batch['features'] = data['features']
+        if self._pose_init is not None:
+            batch['frame_idx'] = data['frame_idx']
+            batch['rays_d_cam'] = data['rays_d_cam']
         batch['direction_norms'] = batch['direction_norms'].reshape(-1)[:,
                                                                         None]
         if self._batch_sharding is not None:

@@ -107,6 +107,19 @@ def read_args():
     parser.add_argument('--profile', type=str, default=None,
                         help="Write a jax.profiler trace of the first "
                         "training epoch to this directory.")
+    parser.add_argument('--pose-refine', action='store_true',
+                        help="EXPERIMENTAL: refine camera poses "
+                        "jointly with the field — per-frame SE(3) "
+                        "deltas join the parameter pytree and get "
+                        "gradients through the renderer with a "
+                        "coarse-to-fine grid schedule "
+                        "(train/pose_refine.py). On few-frame "
+                        "synthetic captures the field co-adapts and "
+                        "poses do NOT improve (measured; NOTES.md); "
+                        "for registering individual frames against a "
+                        "trained scene use "
+                        "pose_refine.register_camera, which is "
+                        "validated.")
     return parser.parse_args()
 
 
@@ -185,6 +198,10 @@ def main():
 
     model_dir = model_utils.model_dir(flags.scene, flags)
     model_utils.write_params(model_dir, flags)
+    pose_refine = None
+    if flags.pose_refine:
+        dataset.emit_frame_rays = True
+        pose_refine = (dataset.rotations, dataset.origins)
     trainer = SimpleTrainer('ngp',
                             field,
                             lr=flags.lr,
@@ -199,7 +216,8 @@ def main():
                             exact_final_fraction=flags.exact_final_fraction,
                             sampled_warmup_fraction=(
                                 flags.sampled_warmup_fraction),
-                            metrics=not flags.no_metrics)
+                            metrics=not flags.no_metrics,
+                            pose_refine=pose_refine)
     mark('trainer init')
 
     iters_per_epoch = min(1000, flags.iters)
@@ -218,6 +236,20 @@ def main():
     mark('train')
     trainer.save_checkpoint(include_optimizer=flags.save_optimizer)
     mark('save checkpoint')
+
+    if pose_refine is not None:
+        from autolabel_tpu.train.pose_refine import refined_poses
+        R, t = refined_poses(
+            {k: np.asarray(v)
+             for k, v in trainer.state['params']['pose'].items()},
+            (np.asarray(dataset.rotations), np.asarray(dataset.origins)))
+        stems = [os.path.basename(p).split('.')[0]
+                 for p in dataset.scene.rgb_paths()]
+        np.savez(os.path.join(model_dir, 'poses_refined.npz'),
+                 R=R, t=t,
+                 frames=np.array([stems[i] for i in dataset.indices]))
+        print(f"refined poses (ngp frame) -> "
+              f"{os.path.join(model_dir, 'poses_refined.npz')}")
 
     if flags.eval:
         testset = SceneDataset('test',

@@ -1,0 +1,136 @@
+"""Camera-pose optimization (train/pose_refine.py).
+
+`register_camera` (pose vs a frozen trained field) is the validated
+feature and is tested for actual pose recovery. The joint training mode
+is exercised as a smoke test only — on few-frame synthetic captures it
+is a measured dead end (field co-adaptation; see the module docstring
+and NOTES.md), kept experimental for large real captures."""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+cv2 = pytest.importorskip('cv2')
+
+
+def _rot_err_deg(Ra, Rb):
+    cosang = (np.trace(Ra @ Rb.T) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+
+
+def _train_room_field(scene, iters=600, pose_refine=None, dataset=None):
+    from autolabel_tpu import model_utils
+    from autolabel_tpu.core.dataset import LenDataset, SceneDataset
+    from autolabel_tpu.models.field import Field, FieldConfig
+    from autolabel_tpu.ops.encoders import HashGridConfig
+    from autolabel_tpu.render.renderer import RenderOptions
+    from autolabel_tpu.train.loader import PrefetchIterator
+    from autolabel_tpu.train.losses import LossOptions
+    from autolabel_tpu.train.trainer import SimpleTrainer
+
+    ds = dataset or SceneDataset('train', scene, factor=1, batch_size=512)
+    bound = model_utils.compute_bound(ds.min_bounds, ds.max_bounds)
+    grid = HashGridConfig(n_levels=4, n_features=8, log2_hashmap_size=15,
+                          base_resolution=16, per_level_scale=1.6)
+    field = Field(FieldConfig(encoding='hg+freq', hidden_dim=64,
+                              hidden_dim_color=64, hidden_dim_semantic=32,
+                              semantic_classes=ds.n_classes or 5,
+                              bound=bound, grid=grid, proposal=True,
+                              grid_interp='simplex'))
+    trainer = SimpleTrainer(
+        'pose', field, lr=5e-3, iters=iters,
+        loss_options=LossOptions(),
+        render_options=RenderOptions(num_steps=48, proposal_steps=24,
+                                     perturb=True, stochastic_corners=0,
+                                     sampled_backward=2),
+        workspace=None, ema_decay=0.95, exact_final_fraction=0.1,
+        metrics=False, pose_refine=pose_refine)
+    loader = PrefetchIterator(LenDataset(ds, iters),
+                              transform=trainer._device_batch)
+    trainer.train(loader, 1, iters)
+    return ds, field, trainer
+
+
+def test_register_camera_recovers_pose(tmp_path):
+    """Perturb one camera of a TRAINED scene and register it back:
+    photometric+depth pose optimization against the frozen field must
+    recover most of the injected error."""
+    from room import make_room_scene
+    from autolabel_tpu.core.rays import compute_directions
+    from autolabel_tpu.render.renderer import RenderOptions
+    from autolabel_tpu.train.pose_refine import register_camera
+
+    scene = str(tmp_path / 'scene')
+    make_room_scene(scene, n_frames=10, width=80, height=60,
+                    label_every=2)
+    ds, field, trainer = _train_room_field(scene)
+
+    # 5 deg / ~10 cm off: well outside the registration accuracy floor
+    # (~1-2 deg at this field blur — the photometric optimum of a
+    # quick low-res field sits that far from truth; measured,
+    # NOTES.md), so recovery is unambiguous.
+    f = 3
+    R_gt = np.array(ds.rotations[f])
+    t_gt = np.array(ds.origins[f])
+    rng = np.random.default_rng(7)
+    axis = rng.normal(size=3)
+    axis *= np.radians(5.0) / np.linalg.norm(axis)
+    R_bad = R_gt @ cv2.Rodrigues(axis)[0]
+    t_bad = t_gt + rng.normal(scale=0.07, size=3)
+    rot_err0 = _rot_err_deg(R_bad, R_gt)
+    t_err0 = float(np.linalg.norm(t_bad - t_gt))
+
+    idx = rng.choice(ds.resolution, size=2048, replace=False)
+    dirs_cam, norms = compute_directions(np.eye(3), idx, ds.w,
+                                         ds.camera.fx, ds.camera.fy,
+                                         ds.camera.cx, ds.camera.cy)
+    pixels = np.asarray(ds.images[f])[idx]
+    depth = np.asarray(ds.depths[f])[idx] / 1000.0
+
+    R1, t1, loss = register_camera(
+        field, trainer.state['params'], pixels, dirs_cam, norms,
+        R_bad, t_bad,
+        options=RenderOptions(num_steps=48, proposal_steps=24,
+                              perturb=False),
+        iters=400, lr=5e-3, depth=depth)
+
+    rot_err1 = _rot_err_deg(R1, R_gt)
+    t_err1 = float(np.linalg.norm(t1 - t_gt))
+    # Recovery is floor-limited by this quick 600-iter field's blur
+    # (measured ~0.6x on both axes here; a 2000-iter field reaches
+    # 1.2 deg / 2.4 cm from the same 5 deg / 10 cm start — NOTES.md).
+    assert rot_err1 < rot_err0 * 0.75, (rot_err0, rot_err1)
+    assert t_err1 < t_err0 * 0.75, (t_err0, t_err1)
+    assert np.isfinite(loss)
+
+
+def test_joint_pose_refinement_smoke(tmp_path):
+    """Joint mode wires up end to end: pose params exist, receive
+    finite updates, the gauge anchor stays fixed, and refined_poses
+    round-trips."""
+    from room import make_room_scene
+    from autolabel_tpu.core.dataset import SceneDataset
+    from autolabel_tpu.train.pose_refine import refined_poses
+
+    scene = str(tmp_path / 'scene')
+    make_room_scene(scene, n_frames=6, width=64, height=48,
+                    label_every=2)
+    ds = SceneDataset('train', scene, factor=1, batch_size=512)
+    ds.emit_frame_rays = True
+    R0 = np.array(ds.rotations)
+    t0 = np.array(ds.origins)
+    # iters=200 -> pose lr unfreezes at step 20 (10% warmup).
+    _, _, trainer = _train_room_field(scene, iters=200,
+                                      pose_refine=(R0, t0), dataset=ds)
+    pose = {k: np.asarray(v)
+            for k, v in trainer.state['params']['pose'].items()}
+    assert np.isfinite(pose['rot']).all() and np.isfinite(pose['t']).all()
+    R1, t1 = refined_poses(pose, (R0, t0))
+    np.testing.assert_allclose(R1[0], R0[0], atol=1e-6)  # gauge anchor
+    np.testing.assert_allclose(t1[0], t0[0], atol=1e-6)
+    # Deltas actually moved for the non-anchor frames (updates flowed).
+    assert np.abs(pose['rot'][1:]).max() > 0
