@@ -206,3 +206,75 @@ def test_bundle_adjust_refine_focal():
     assert abs(intr_out[0] - intr[0]) < abs(wrong[0] - intr[0]) * 0.2, \
         intr_out
     assert rms < 0.5, rms
+
+
+def test_drop_tear_frames_excises_displaced_branch():
+    """A torn trajectory — a contiguous sub-map displaced far from the
+    majority (the periodic-texture aliasing failure mode) — is detected
+    by the gap-normalized center-step statistic and the minority side is
+    dropped, along with structure only it supports."""
+    from autolabel_tpu.mapping import IncrementalSfM
+
+    n = 12
+    sfm = IncrementalSfM([(f'{i}.png', np.zeros((8, 8), np.uint8))
+                          for i in range(n)],
+                         np.eye(3))
+    # Smooth arc for frames 0..7, ghost branch for 8..11 displaced 5
+    # units (typical step ~0.1).
+    for i in range(n):
+        c = np.array([0.1 * i, 0.0, 0.0])
+        if i >= 8:
+            c = c + np.array([0.0, 5.0, 0.0])
+        R = np.eye(3)
+        sfm.registered[i] = (R, -R @ c)  # world->camera t = -R c
+    # One point seen only by the ghost branch, one by the majority.
+    sfm.tracks = {0: {8: 0, 9: 0}, 1: {0: 0, 1: 0}}
+    sfm.points = {0: np.zeros(3), 1: np.ones(3)}
+    dropped = sfm._drop_tear_frames()
+    assert dropped == 4, dropped
+    assert sorted(sfm.registered) == list(range(8))
+    assert 0 not in sfm.points and 1 in sfm.points
+
+
+def test_drop_tear_frames_keeps_smooth_trajectory():
+    """No tear: nothing dropped even with moderate step variation and
+    registration gaps."""
+    from autolabel_tpu.mapping import IncrementalSfM
+
+    sfm = IncrementalSfM([(f'{i}.png', np.zeros((8, 8), np.uint8))
+                          for i in range(10)],
+                         np.eye(3))
+    rng = np.random.default_rng(3)
+    for i in range(10):
+        if i == 4:
+            continue  # a registration gap must not read as a tear
+        c = np.array([0.1 * i, 0.02 * rng.normal(), 0.0])
+        sfm.registered[i] = (np.eye(3), -c)
+    sfm.tracks, sfm.points = {}, {}
+    assert sfm._drop_tear_frames() == 0
+    assert len(sfm.registered) == 9
+
+
+def test_init_pair_prefers_wide_baseline():
+    """On a clean synthetic capture the init-pair scan must choose a
+    pair at least 3 frames apart — adjacent frames sit at the
+    keypoint-noise parallax floor and (on periodic texture) can
+    fabricate large-baseline geometry; see _init_pair."""
+    from room import _look_at, render_room_frame
+    from autolabel_tpu.mapping import IncrementalSfM
+    w, h, n = 400, 300, 10
+    focal = 0.75 * w
+    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
+    imgs = []
+    for i in range(n):
+        ang = np.pi / 4 * i / n
+        pos = np.array([0.95 * np.cos(ang), 0.95 * np.sin(ang), 0.9])
+        T_WC = _look_at(pos, np.array([-0.8, -0.3, 0.7]))
+        rgb, _, _ = render_room_frame(T_WC, K, w, h)
+        imgs.append((f'{i}.png',
+                     cv2.cvtColor((rgb * 255).astype(np.uint8),
+                                  cv2.COLOR_RGB2GRAY)))
+    sfm = IncrementalSfM(imgs, K, detector='klt')
+    sfm._build_tracks_klt()
+    i, j = sfm._init_pair()
+    assert j - i >= 3, (i, j)
