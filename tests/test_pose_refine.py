@@ -134,3 +134,60 @@ def test_joint_pose_refinement_smoke(tmp_path):
     np.testing.assert_allclose(t1[0], t0[0], atol=1e-6)
     # Deltas actually moved for the non-anchor frames (updates flowed).
     assert np.abs(pose['rot'][1:]).max() > 0
+
+
+def test_register_cli_smoke(tmp_path):
+    """scripts/register.py end to end: a (quickly) trained workspace +
+    the CLI registers a perturbed frame, writes a valid scene-convention
+    T_CW, and the written pose round-trips into the ngp frame. Recovery
+    quality is covered by test_register_camera_recovers_pose; this
+    pins the CLI contract (checkpoint loading, pose conventions,
+    output file)."""
+    from room import make_room_scene
+    from autolabel_tpu import model_utils
+    from autolabel_tpu.core.dataset import SceneDataset
+    from autolabel_tpu.render.renderer import RenderOptions
+    from autolabel_tpu.train.losses import LossOptions
+    from autolabel_tpu.train.trainer import SimpleTrainer
+
+    scene = str(tmp_path / 'scene')
+    make_room_scene(scene, n_frames=6, width=48, height=36, label_every=2)
+    flags = model_utils.model_flag_parser().parse_args([])
+    dataset = SceneDataset('train', scene, factor=1.0, batch_size=512)
+    field = model_utils.create_model(dataset.min_bounds, dataset.max_bounds,
+                                     dataset.n_classes, flags)
+    model_dir = model_utils.model_dir(scene, flags)
+    model_utils.write_params(model_dir, flags)
+    trainer = SimpleTrainer('ngp', field, iters=100,
+                            loss_options=LossOptions(),
+                            render_options=RenderOptions(num_steps=16,
+                                                         perturb=True),
+                            workspace=model_dir, metrics=False)
+    trainer.train_iterations(dataset, 30)
+    trainer.save_checkpoint()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import register as register_cli
+    out = str(tmp_path / 'pose.txt')
+    sys.argv = [
+        'register.py', scene, '--model-dir', model_dir, '--frame-index',
+        '2', '--perturb-deg', '2', '--perturb-cm', '3', '--rays', '256',
+        '--iters', '5', '--num-steps', '16', '--out', out,
+    ]
+    register_cli.main()
+
+    T_CW = np.loadtxt(out)
+    assert T_CW.shape == (4, 4)
+    R = T_CW[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert np.isclose(np.linalg.det(R), 1.0, atol=1e-5)
+    # Round-trip: the written scene pose maps back to a finite ngp pose
+    # in the dataset's frame.
+    from autolabel_tpu.core.rays import convert_pose
+    T_ngp = convert_pose(T_CW)
+    assert np.isfinite(T_ngp).all()
+    # The registered pose should still be in the neighborhood of the
+    # (perturbed) initial frame, not teleported.
+    assert np.linalg.norm(T_ngp[:3, 3] -
+                          np.asarray(dataset.origins[2])) < 0.5
