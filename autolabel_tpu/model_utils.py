@@ -45,6 +45,15 @@ def model_flag_parser():
                         "hash-grid queries ~4x (mip-NeRF-360 style).")
     parser.add_argument('--proposal-steps', type=int, default=64,
                         help="Uniform proposal samples per ray.")
+    parser.add_argument('--heads-impl',
+                        default='xla',
+                        choices=['xla', 'pallas'],
+                        help="Head-stack implementation: 'pallas' fuses "
+                        "the sigma/color/semantic MLPs into one "
+                        "VMEM-resident kernel (TPU; the FullyFusedMLP "
+                        "equivalent, ops/heads_pallas.py). Same math — "
+                        "checkpoints are interchangeable, so this is "
+                        "not part of the model hash.")
     parser.add_argument('--grid-interp',
                         default='simplex',
                         choices=['trilinear', 'simplex'],
@@ -129,7 +138,8 @@ def create_model(min_bounds, max_bounds, n_classes, flags):
                          bound=compute_bound(min_bounds, max_bounds),
                          grid=grid,
                          proposal=getattr(flags, 'proposal', False),
-                         grid_interp=effective_grid_interp(flags))
+                         grid_interp=effective_grid_interp(flags),
+                         heads_impl=getattr(flags, 'heads_impl', 'xla'))
     return Field(config)
 
 

@@ -44,6 +44,14 @@ class FieldConfig:
     # Hash-grid implementation: 'xla' (gather/scatter, runs everywhere) or
     # 'pallas' (fused VMEM-resident forward kernel, TPU only).
     grid_impl: str = 'xla'
+    # Head-stack implementation: 'xla' (ops/mlp.mlp_apply chains, one XLA
+    # dot per layer, activations round-trip HBM) or 'pallas' (fused
+    # sigma+color+semantic kernel with VMEM-resident weights and a
+    # recompute backward; ops/heads_pallas.py — the TPU equivalent of
+    # the reference's FullyFusedMLP). An implementation detail, not a
+    # model property: both compute the same math (bf16 matmuls, fp32
+    # accumulation), so checkpoints are interchangeable.
+    heads_impl: str = 'xla'
     # Hash-grid interpolation: 'trilinear' (8 cell corners, reference
     # parity) or 'simplex' (tetrahedral, 4 corners — halves the
     # row-latency-bound gather/scatter cost of the encode fwd+bwd; see
@@ -210,6 +218,44 @@ class Field:
                           level_window=level_window))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
+
+    def fused_heads_available(self, params):
+        """True when the fused Pallas head stack covers this config
+        (reference head topology; ops/heads_pallas.supported)."""
+        from autolabel_tpu.ops.heads_pallas import supported
+        c = self.config
+        if c.heads_impl != 'pallas' or c.encoding not in ('hg', 'hg+freq'):
+            return False
+        return supported(params, 12 if c.encoding == 'hg+freq' else 0)
+
+    def all_heads(self, params: Params, x, d, key=None, n_samples=1,
+                  exact_levels=0, residual=False, sampled_backward=0,
+                  level_window=None):
+        """Every head in one fused kernel: (N, 3) points + (N, 3) view
+        dirs -> (sigma (N,), rgb (N, 3), logits (N, C), features (N, S)).
+
+        Same math as density + color + semantic (the fused kernel is an
+        implementation of the same stack; ops/heads_pallas.py); callers
+        gate on fused_heads_available."""
+        from autolabel_tpu.ops.heads_pallas import (fused_heads,
+                                                    pack_head_weights)
+        c = self.config
+        bound = c.bound
+        normalized = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
+        A = self._grid_encode(params['encoder']['grid'], normalized, key,
+                              n_samples, exact_levels, residual,
+                              sampled_backward, level_window)
+        freq_dim = 12 if c.encoding == 'hg+freq' else 0
+        B = jnp.zeros((x.shape[0], 128), jnp.float32)
+        if freq_dim:
+            B = B.at[:, :freq_dim].set(frequency_encode(x, 2))
+        B = B.at[:, 16:32].set(sh_encode(d))
+        packed = pack_head_weights(params, freq_dim)
+        out1, feats, logits = fused_heads(packed, A, B)
+        n_classes = params['semantic_out'][1].shape[1]
+        feat_dim = params['semantic_features'][2].shape[1]
+        return (out1[:, 0], out1[:, 1:4], logits[:, :n_classes],
+                feats[:, :feat_dim])
 
     def color(self, params: Params, d, geo_feat):
         """Unit view dirs (N, 3) + geo features -> rgb (N, 3) in [0, 1]."""

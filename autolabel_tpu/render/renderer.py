@@ -267,9 +267,43 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
         return (xyz, sigma.reshape(n_rays, s),
                 geo.reshape(n_rays, s, -1))
 
-    xyz, sigma, geo = query_density(z, enc_key=k_enc)
+    def _mask_sigma(flat, sigma):
+        if occupancy is None:
+            return sigma
+        density_grid, trained_mask, threshold = occupancy
+        r = density_grid.shape[0]
+        idx = jnp.clip(((flat + bound) / (2 * bound) * r).astype(jnp.int32),
+                       0, r - 1)
+        occupied = density_grid[idx[:, 0], idx[:, 1], idx[:, 2]] > threshold
+        trained = trained_mask[idx[:, 0], idx[:, 1], idx[:, 2]]
+        return sigma * (occupied & trained).astype(sigma.dtype)
 
-    if options.upsample_steps > 0:
+    # Fused head stack (ops/heads_pallas.py): sigma, rgb, and semantics
+    # come out of one VMEM-resident kernel at query time. Only the
+    # no-upsample path qualifies (upsampling interleaves a second
+    # density query with a merge before the color/semantic heads).
+    use_fused = (c.heads_impl == 'pallas' and options.upsample_steps == 0
+                 and field.fused_heads_available(params))
+    fused_outputs = None
+    if use_fused:
+        xyz = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+        xyz = jnp.clip(xyz, -bound, bound)
+        flat = xyz.reshape(-1, 3)
+        dirs_flat = jnp.broadcast_to(
+            rays_d[:, None, :], (n_rays, num_steps, 3)).reshape(-1, 3)
+        sigma_f, rgb_f, logits_f, feats_f = field.all_heads(
+            params, flat, dirs_flat, key=k_enc,
+            n_samples=n_corner_samples,
+            exact_levels=options.stochastic_exact_levels,
+            residual=options.stochastic_residual,
+            sampled_backward=options.sampled_backward,
+            level_window=options.level_window)
+        sigma = _mask_sigma(flat, sigma_f).reshape(n_rays, num_steps)
+        fused_outputs = (rgb_f, logits_f, feats_f)
+    else:
+        xyz, sigma, geo = query_density(z, enc_key=k_enc)
+
+    if not use_fused and options.upsample_steps > 0:
         # Importance-sample extra depths from the coarse weights
         # (gradients stopped), then merge-sort and gather — no re-query
         # of the coarse samples.
@@ -311,17 +345,27 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
                                       jax.lax.stop_gradient(weights),
                                       z_p, deltas_p, w_p)
 
-    # Per-sample head evaluations on the flat (N*S, .) layout.
-    geo_flat = geo.reshape(-1, geo.shape[-1])
-    dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, total_steps, 3))
-    rgb = field.color(params, dirs.reshape(-1, 3), geo_flat)
-    rgb = rgb.reshape(n_rays, total_steps, 3)
-    # Composite raw class logits (softmax/CE happen in the loss): the
-    # standard semantic-NeRF formulation, numerically kinder than
-    # compositing probabilities.
-    logits, sem_features = field.semantic(params, geo_flat)
-    sem_logits = logits.astype(jnp.float32).reshape(n_rays, total_steps, -1)
-    sem_features = sem_features.reshape(n_rays, total_steps, -1)
+    # Per-sample head evaluations on the flat (N*S, .) layout (already
+    # done at query time on the fused path).
+    if use_fused:
+        rgb_f, logits_f, feats_f = fused_outputs
+        rgb = rgb_f.reshape(n_rays, total_steps, 3)
+        sem_logits = logits_f.astype(jnp.float32).reshape(
+            n_rays, total_steps, -1)
+        sem_features = feats_f.reshape(n_rays, total_steps, -1)
+    else:
+        geo_flat = geo.reshape(-1, geo.shape[-1])
+        dirs = jnp.broadcast_to(rays_d[:, None, :],
+                                (n_rays, total_steps, 3))
+        rgb = field.color(params, dirs.reshape(-1, 3), geo_flat)
+        rgb = rgb.reshape(n_rays, total_steps, 3)
+        # Composite raw class logits (softmax/CE happen in the loss): the
+        # standard semantic-NeRF formulation, numerically kinder than
+        # compositing probabilities.
+        logits, sem_features = field.semantic(params, geo_flat)
+        sem_logits = logits.astype(jnp.float32).reshape(
+            n_rays, total_steps, -1)
+        sem_features = sem_features.reshape(n_rays, total_steps, -1)
 
     w = weights[..., None]
     image = (w * rgb).sum(axis=1) + (1.0 - weights_sum[:, None]) * \

@@ -39,6 +39,8 @@ def main():
     parser.add_argument('--sampled-backward', default='0',
                         help='Exact-forward / sampled-backward gathers '
                         '(1 or 2 scatter rows; overrides --corners).')
+    parser.add_argument('--heads-impl', default='xla',
+                        choices=['xla', 'pallas'])
     parser.add_argument('--interp', type=str, nargs='*',
                         default=['trilinear'],
                         choices=['trilinear', 'simplex'],
@@ -89,7 +91,8 @@ def main():
             FieldConfig(encoding='hg+freq', hidden_dim=128,
                         hidden_dim_color=128, hidden_dim_semantic=64,
                         semantic_classes=6, bound=2.0, grid=grid,
-                        proposal=True, grid_interp=interp))
+                        proposal=True, grid_interp=interp,
+                        heads_impl=flags.heads_impl))
         params = field.init(jax.random.PRNGKey(0))
         tx = make_optimizer(params, lr=5e-3, iters=10000)
         opt_state = tx.init(params)

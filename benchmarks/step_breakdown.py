@@ -30,6 +30,8 @@ def main():
     parser.add_argument('--corners', type=int, default=0)
     parser.add_argument('--interp', default='simplex',
                         choices=['trilinear', 'simplex'])
+    parser.add_argument('--heads-impl', default='xla',
+                        choices=['xla', 'pallas'])
     parser.add_argument('--sampled-backward', default='2')
     flags = parser.parse_args()
 
@@ -49,7 +51,8 @@ def main():
         FieldConfig(encoding='hg+freq', hidden_dim=128,
                     hidden_dim_color=128, hidden_dim_semantic=64,
                     semantic_classes=6, bound=2.0, grid=TPU_GRID,
-                    grid_interp=flags.interp, proposal=True))
+                    grid_interp=flags.interp, proposal=True,
+                    heads_impl=flags.heads_impl))
     params = field.init(jax.random.PRNGKey(0))
     tx = make_optimizer(params, lr=5e-3, iters=10000)
     opt_state = tx.init(params)
