@@ -268,6 +268,14 @@ class Field:
         no hash-grid gather."""
         c = self.config
         normalized = jnp.clip((x + c.bound) / (2.0 * c.bound), 0.0, 1.0)
+        if c.heads_impl == 'pallas' and len(params['proposal']) == 3:
+            from autolabel_tpu.ops.heads_pallas import (fused_mlp3,
+                                                        pack_mlp3)
+            freq = frequency_encode(normalized, 6)
+            X = jnp.zeros((x.shape[0], 128), jnp.float32)
+            X = X.at[:, :freq.shape[-1]].set(freq)
+            h = fused_mlp3(pack_mlp3(params['proposal']), X)
+            return trunc_exp(h[:, 0])
         h = mlp_apply(params['proposal'], frequency_encode(normalized, 6))
         return trunc_exp(h[..., 0])
 

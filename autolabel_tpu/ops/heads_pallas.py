@@ -340,3 +340,117 @@ def heads_reference(params, freq_dim, A, B):
     out1 = jnp.zeros((A.shape[0], 128), jnp.float32)
     out1 = out1.at[:, 0].set(sigma).at[:, 1:4].set(rgb)
     return out1, sem_features, logits
+
+
+# ---------------------------------------------------------------- mlp3
+# A generic fused 3-matrix ReLU MLP (in -> h -> h -> out) on padded
+# (N, 128)-lane blocks — used for the proposal density net (36 -> 64 ->
+# 64 -> 1, models/field.py proposal_sigma), whose XLA form materializes
+# every activation in HBM just like the head stack.
+
+
+def pack_mlp3(weights):
+    """[W0, W1, W2] -> zero-padded 128-lane tiles (differentiable)."""
+    W0, W1, W2 = weights
+    Din = _round128(W0.shape[0])
+    H = _round128(W1.shape[0])
+    Dout = _round128(W2.shape[1])
+    return (_pad_to(W0, Din, H), _pad_to(W1, H, H), _pad_to(W2, H, Dout))
+
+
+def _mlp3_fwd_kernel(x_ref, w0_ref, w1_ref, w2_ref, out_ref):
+    x = x_ref[:].astype(jnp.float32)
+    h1 = jnp.maximum(_dot(x, w0_ref[:]), 0.0)
+    h2 = jnp.maximum(_dot(h1, w1_ref[:]), 0.0)
+    out_ref[:] = _dot(h2, w2_ref[:])
+
+
+def _mlp3_bwd_kernel(x_ref, w0_ref, w1_ref, w2_ref, g_ref,
+                     dx_ref, dw0_ref, dw1_ref, dw2_ref):
+    x = x_ref[:].astype(jnp.float32)
+    w0, w1, w2 = w0_ref[:], w1_ref[:], w2_ref[:]
+    h1 = jnp.maximum(_dot(x, w0), 0.0)
+    h2 = jnp.maximum(_dot(h1, w1), 0.0)
+    g = g_ref[:]
+    dh2 = _dot(g, w2.T) * (h2 > 0)
+    dh1 = _dot(dh2, w1.T) * (h1 > 0)
+    dx_ref[:] = _dot(dh1, w0.T)
+    dws = (_dot(x.T, dh1), _dot(h1.T, dh2), _dot(h2.T, g))
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for ref, val in zip((dw0_ref, dw1_ref, dw2_ref), dws):
+            ref[:] = val
+
+    @pl.when(step > 0)
+    def _():
+        for ref, val in zip((dw0_ref, dw1_ref, dw2_ref), dws):
+            ref[:] = ref[:] + val
+
+
+@jax.custom_vjp
+def fused_mlp3(packed, X):
+    return _mlp3_fwd_impl(packed, X)
+
+
+def _mlp3_stage(packed, X):
+    n = X.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    Din = packed[0].shape[0]
+    dt = _compute_dtype()
+    X_p = jnp.zeros((n_pad, Din), dt).at[:n, :X.shape[1]].set(X.astype(dt))
+    return X_p, n, n_pad
+
+
+def _mlp3_specs(packed, n_pad):
+    point = lambda width: pl.BlockSpec((TILE, width), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    weight = [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM) for w in packed]
+    return point, weight, (n_pad // TILE,)
+
+
+def _mlp3_fwd_impl(packed, X):
+    X_p, n, n_pad = _mlp3_stage(packed, X)
+    point, weight, grid = _mlp3_specs(packed, n_pad)
+    Dout = packed[2].shape[1]
+    out = pl.pallas_call(
+        _mlp3_fwd_kernel,
+        grid=grid,
+        in_specs=[point(packed[0].shape[0])] + weight,
+        out_specs=point(Dout),
+        out_shape=jax.ShapeDtypeStruct((n_pad, Dout), jnp.float32),
+        interpret=_interpret(),
+    )(X_p, *packed)
+    return out[:n]
+
+
+def _mlp3_vjp_fwd(packed, X):
+    return _mlp3_fwd_impl(packed, X), (packed, X)
+
+
+def _mlp3_vjp_bwd(res, g):
+    packed, X = res
+    X_p, n, n_pad = _mlp3_stage(packed, X)
+    point, weight, grid = _mlp3_specs(packed, n_pad)
+    Din = packed[0].shape[0]
+    Dout = packed[2].shape[1]
+    g_p = jnp.zeros((n_pad, Dout), jnp.float32).at[:n].set(
+        g.astype(jnp.float32))
+    outs = pl.pallas_call(
+        _mlp3_bwd_kernel,
+        grid=grid,
+        in_specs=[point(Din)] + weight + [point(Dout)],
+        out_specs=[point(Din)] + weight,
+        out_shape=([jax.ShapeDtypeStruct((n_pad, Din), jnp.float32)]
+                   + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                      for w in packed]),
+        interpret=_interpret(),
+    )(X_p, *packed, g_p)
+    dX = outs[0][:n, :X.shape[1]].astype(X.dtype)
+    dws = tuple(d.astype(w.dtype) for d, w in zip(outs[1:], packed))
+    return dws, dX
+
+
+fused_mlp3.defvjp(_mlp3_vjp_fwd, _mlp3_vjp_bwd)

@@ -179,3 +179,32 @@ def test_trainer_with_fused_heads(sphere_scene):
     # Unseeded batch sampler -> per-step loss is noisy; 150 steps of
     # training must still beat the 5-step warmup clearly.
     assert last < max(first * 0.9, 0.05), (first, last)
+
+
+def test_fused_mlp3_proposal_parity():
+    """proposal_sigma under heads_impl='pallas' (fused_mlp3) matches the
+    XLA path in value and gradient."""
+    import dataclasses
+
+    field_x, params, _, _ = _field_and_inputs()
+    config = dataclasses.replace(field_x.config, proposal=True)
+    field_x = Field(config)
+    params = field_x.init(jax.random.PRNGKey(0))
+    field_p = Field(dataclasses.replace(config, heads_impl='pallas'))
+
+    x = jax.random.uniform(jax.random.PRNGKey(5), (257, 3), jnp.float32,
+                           -0.9, 0.9)
+    sx = field_x.proposal_sigma(params, x)
+    sp = field_p.proposal_sigma(params, x)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sx), rtol=1e-5,
+                               atol=1e-6)
+
+    def loss(p, field):
+        return jnp.mean(field.proposal_sigma(p, x) ** 2)
+
+    gx = jax.grad(loss)(params, field_x)['proposal']
+    gp = jax.grad(loss)(params, field_p)['proposal']
+    for a, b in zip(gx, gp):
+        scale = max(float(jnp.abs(a).max()), 1e-5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4 * scale)
