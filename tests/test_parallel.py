@@ -178,3 +178,32 @@ def test_trainer_with_dp_tp_mesh():
     for leaf in mu_leaves:
         assert {s.data.shape for s in leaf.addressable_shards} == \
             {(4, 4096, 1)}
+
+
+def test_dp_train_step_with_fused_heads():
+    """The fused Pallas head stack (heads_impl='pallas') composes with
+    the DP mesh: batch-sharded pallas_call partitions like any dense op
+    and the losses match the single-device fused step."""
+    import dataclasses
+    mesh = make_mesh(8)
+    field = Field(dataclasses.replace(_tiny_field().config,
+                                      geo_feat_dim=15,
+                                      heads_impl='pallas'))
+    batch = _tiny_batch(64)
+
+    def make(mesh):
+        return SimpleTrainer('ngp', field, iters=1000,
+                             loss_options=LossOptions(),
+                             render_options=RenderOptions(num_steps=8),
+                             workspace=None, mesh=mesh, seed=3)
+
+    dp = make(mesh)
+    single = make(None)
+    assert field.fused_heads_available(dp.state['params'])  # not vacuous
+    dp.state, dp_losses = dp._train_step(dp.state, dp._device_batch(batch),
+                                         dp._base_key)
+    single.state, s_losses = single._train_step(
+        single.state, single._device_batch(batch), single._base_key)
+    np.testing.assert_allclose(float(dp_losses['total']),
+                               float(s_losses['total']), rtol=1e-3)
+    assert jnp.isfinite(jax.tree.leaves(dp.state['params'])[0]).all()
