@@ -207,3 +207,43 @@ def test_dp_train_step_with_fused_heads():
     np.testing.assert_allclose(float(dp_losses['total']),
                                float(s_losses['total']), rtol=1e-3)
     assert jnp.isfinite(jax.tree.leaves(dp.state['params'])[0]).all()
+
+
+def test_dp_tp_step_with_fused_heads():
+    """DP x grid-TP with heads_impl='pallas': GSPMD resolves the
+    feature-sharded encode into the (replicated-weight) pallas_call —
+    loss and table grads still match single-device."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from autolabel_tpu.parallel import make_mesh_2d, tree_shardings
+    from autolabel_tpu.render.renderer import render_rays
+    from autolabel_tpu.train.losses import compute_losses
+
+    mesh = make_mesh_2d(2, 2)
+    field = Field(dataclasses.replace(_tiny_field().config,
+                                      heads_impl='pallas'))
+    params = field.init(jax.random.PRNGKey(0))
+    assert field.fused_heads_available(params)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(16).items()}
+    options = RenderOptions(num_steps=8, perturb=False)
+
+    def loss_fn(p, b):
+        out = render_rays(field, p, b['rays_o'], b['rays_d'],
+                          b['direction_norms'], options=options)
+        loss, _ = compute_losses(out, b, LossOptions())
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+    l_single, g_single = jax.jit(grad_fn)(params, batch)
+    pspecs = tree_shardings(mesh, params, params['encoder']['grid'].shape)
+    bspecs = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    jit_tp = jax.jit(grad_fn, in_shardings=(pspecs, bspecs),
+                     out_shardings=(NamedSharding(mesh, P()), pspecs))
+    l_tp, g_tp = jit_tp(jax.device_put(params, pspecs),
+                        jax.device_put(batch, bspecs))
+    np.testing.assert_allclose(float(l_tp), float(l_single), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_tp['encoder']['grid']),
+                               np.asarray(g_single['encoder']['grid']),
+                               rtol=2e-3, atol=1e-6)
