@@ -124,6 +124,24 @@ def _dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def _dot_nt(a, b):
+    """a @ b.T without materializing the transpose (Mosaic lowers the
+    dot_general contraction directly; an explicit 128x128 transpose is
+    an avoidable lowering risk + relayout)."""
+    dt = _compute_dtype()
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a.T @ b via dot_general (used for the per-tile dW partials)."""
+    dt = _compute_dtype()
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _forward_blocks(A, B, ws):
     """The stack on fp32 (T, .) blocks; returns every activation the
     backward needs. Shared verbatim by the fwd and bwd kernels (the
@@ -179,36 +197,36 @@ def _bwd_kernel(A_ref, B_ref, *refs):
     dR = jnp.zeros_like(R).at[:, :3].set(g1[:, 1:4] * rgb * (1.0 - rgb))
 
     # logits head
-    do1 = _dot(gl_ref[:], W1o.T) * (o1 > 0)
-    dW1o = _dot(o1.T, gl_ref[:])
-    dWFo = _dot(jnp.maximum(F, 0.0).T, do1)
-    dWSo = _dot(S.T, do1)
+    do1 = _dot_nt(gl_ref[:], W1o) * (o1 > 0)
+    dW1o = _dot_tn(o1, gl_ref[:])
+    dWFo = _dot_tn(jnp.maximum(F, 0.0), do1)
+    dWSo = _dot_tn(S, do1)
     # feature head (+ the relu(F) branch into the logits head)
-    dF = gf_ref[:] + _dot(do1, WFo.T) * (F > 0)
-    df2 = _dot(dF, W2f.T) * (f2 > 0)
-    dW2f = _dot(f2.T, dF)
-    df1 = _dot(df2, W1f.T) * (f1 > 0)
-    dW1f = _dot(f1.T, df2)
-    dWSf = _dot(S.T, df1)
+    dF = gf_ref[:] + _dot_nt(do1, WFo) * (F > 0)
+    df2 = _dot_nt(dF, W2f) * (f2 > 0)
+    dW2f = _dot_tn(f2, dF)
+    df1 = _dot_nt(df2, W1f) * (f1 > 0)
+    dW1f = _dot_tn(f1, df2)
+    dWSf = _dot_tn(S, df1)
     # color head
-    dc2 = _dot(dR, W2c.T) * (c2 > 0)
-    dW2c = _dot(c2.T, dR)
-    dc1 = _dot(dc2, W1c.T) * (c1 > 0)
-    dW1c = _dot(c1.T, dc2)
-    dWBc = _dot(B.T, dc1)
-    dWSc = _dot(S.T, dc1)
+    dc2 = _dot_nt(dR, W2c) * (c2 > 0)
+    dW2c = _dot_tn(c2, dR)
+    dc1 = _dot_nt(dc2, W1c) * (c1 > 0)
+    dW1c = _dot_tn(c1, dc2)
+    dWBc = _dot_tn(B, dc1)
+    dWSc = _dot_tn(S, dc1)
     # gather every path into dS, then the sigma trunk
-    dS = (_dot(dc1, WSc.T) + _dot(df1, WSf.T) + _dot(do1, WSo.T))
+    dS = (_dot_nt(dc1, WSc) + _dot_nt(df1, WSf) + _dot_nt(do1, WSo))
     dS = dS.at[:, :1].add(dsig)
-    dh2s = _dot(dS, W2s.T) * (h2s > 0)
-    dW2s = _dot(h2s.T, dS)
-    dh1s = _dot(dh2s, W1s.T) * (h1s > 0)
-    dW1s = _dot(h1s.T, dh2s)
-    dWA = _dot(A.T, dh1s)
-    dWBs = _dot(B.T, dh1s)
+    dh2s = _dot_nt(dS, W2s) * (h2s > 0)
+    dW2s = _dot_tn(h2s, dS)
+    dh1s = _dot_nt(dh2s, W1s) * (h1s > 0)
+    dW1s = _dot_tn(h1s, dh2s)
+    dWA = _dot_tn(A, dh1s)
+    dWBs = _dot_tn(B, dh1s)
 
-    dA_ref[:] = _dot(dh1s, WA.T)
-    dB_ref[:] = (_dot(dh1s, WBs.T) + _dot(dc1, WBc.T))
+    dA_ref[:] = _dot_nt(dh1s, WA)
+    dB_ref[:] = (_dot_nt(dh1s, WBs) + _dot_nt(dc1, WBc))
 
     dws = (dWA, dWBs, dW1s, dW2s, dWBc, dWSc, dW1c, dW2c, dWSf, dW1f,
            dW2f, dWFo, dWSo, dW1o)
@@ -372,10 +390,10 @@ def _mlp3_bwd_kernel(x_ref, w0_ref, w1_ref, w2_ref, g_ref,
     h1 = jnp.maximum(_dot(x, w0), 0.0)
     h2 = jnp.maximum(_dot(h1, w1), 0.0)
     g = g_ref[:]
-    dh2 = _dot(g, w2.T) * (h2 > 0)
-    dh1 = _dot(dh2, w1.T) * (h1 > 0)
-    dx_ref[:] = _dot(dh1, w0.T)
-    dws = (_dot(x.T, dh1), _dot(h1.T, dh2), _dot(h2.T, g))
+    dh2 = _dot_nt(g, w2) * (h2 > 0)
+    dh1 = _dot_nt(dh2, w1) * (h1 > 0)
+    dx_ref[:] = _dot_nt(dh1, w0)
+    dws = (_dot_tn(x, dh1), _dot_tn(h1, dh2), _dot_tn(h2, g))
     step = pl.program_id(0)
 
     @pl.when(step == 0)
