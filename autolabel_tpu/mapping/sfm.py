@@ -684,7 +684,12 @@ class IncrementalSfM:
         C = np.stack([self._center(f) for f in regs])
         steps = np.linalg.norm(np.diff(C, axis=0), axis=1)
         norm = steps / np.maximum(np.diff(regs), 1)
-        med = float(np.median(norm))
+        # Robust motion scale: on stop-and-go captures (camera resting
+        # >50% of frames) the plain median collapses to the noise floor
+        # and every genuine move would read as a tear — take the median
+        # over the MOVING steps only.
+        moving = norm[norm > 0.05 * norm.mean()]
+        med = float(np.median(moving if moving.size else norm))
         cuts = [k for k in range(len(norm))
                 if norm[k] > factor * max(med, 1e-12)]
         if not cuts:

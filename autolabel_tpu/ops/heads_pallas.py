@@ -16,11 +16,15 @@ RECOMPUTES the activations in VMEM (cheap — they never hit HBM) and
 accumulates the weight gradients across grid steps in a revisited
 output block.
 
-Semantics match models/field.py density+color+semantic exactly
-(bf16 matmuls, fp32 accumulation, trunc_exp clamp at 15, sigmoid rgb,
-relu(features) into the logits head); parity is tested in interpret
-mode in tests/test_heads_pallas.py and on hardware by the renderer
-parity test.
+Semantics match models/field.py density+color+semantic (bf16 matmuls,
+fp32 accumulation, trunc_exp clamp at 15, sigmoid rgb, relu(features)
+into the logits head) up to one deliberate precision difference on
+TPU: mlp_apply keeps segments narrower than 32 lanes (freq, SH, geo)
+in fp32, while this kernel computes every matmul in bf16 — a ~0.4%
+relative rounding on those inputs. Checkpoints remain interchangeable
+(same parameters); benchmarks/heads_parity.py bounds the compiled
+divergence on hardware, and the interpret-mode tests
+(tests/test_heads_pallas.py) prove the math exactly at fp32.
 
 Layout invariant: every padded weight matrix is zero in all unused rows
 AND columns, so the padding lanes of every activation block are exactly

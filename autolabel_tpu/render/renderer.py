@@ -254,15 +254,7 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
                                    residual=options.stochastic_residual,
                                    sampled_backward=options.sampled_backward,
                                    level_window=options.level_window)
-        if occupancy is not None:
-            density_grid, trained_mask, threshold = occupancy
-            r = density_grid.shape[0]
-            idx = jnp.clip(((flat + bound) / (2 * bound) * r).astype(
-                jnp.int32), 0, r - 1)
-            occupied = density_grid[idx[:, 0], idx[:, 1],
-                                    idx[:, 2]] > threshold
-            trained = trained_mask[idx[:, 0], idx[:, 1], idx[:, 2]]
-            sigma = sigma * (occupied & trained).astype(sigma.dtype)
+        sigma = _mask_sigma(flat, sigma)
         s = z_vals.shape[1]
         return (xyz, sigma.reshape(n_rays, s),
                 geo.reshape(n_rays, s, -1))

@@ -55,7 +55,11 @@ def make_optimizer(params, lr=5e-3, iters=None, weight_decay=1e-6):
         # photometric gradient can steer them, and before the field has
         # formed there is no steering signal at all. Freeze the poses
         # for the first 10% of training, then step them at 1/10 lr.
-        warmup = max((iters or 10000) // 10, 100)
+        # (A true 10% even for short runs: the BARF coarse-to-fine
+        # level windows open over the first half of training, and a
+        # fixed floor would keep poses frozen through the entire
+        # coarse-only phase the schedule exists to provide.)
+        warmup = max((iters or 10000) // 10, 1)
         pose_mask = {k: jax.tree.map(lambda l: l == 'pose', v)
                      for k, v in labels.items()}
         chain.append(optax.masked(

@@ -258,6 +258,27 @@ class SimpleTrainer:
         payload = checkpoints.load_checkpoint(self.checkpoint_dir)
         if payload is None:
             return
+        # Pose-refinement deltas are not part of the model hash (the
+        # field weights are interchangeable), so a workspace can be
+        # resumed across a --pose-refine toggle: reconcile the 'pose'
+        # entry before any tx.init touches the pytree — optax.masked
+        # masks were built for the CURRENT structure and a dict-key
+        # mismatch raises deep inside jax.tree.map otherwise.
+        for tree_key in ('model', 'ema'):
+            tree = payload.get(tree_key)
+            if tree is None:
+                continue
+            if self._pose_init is not None and 'pose' not in tree:
+                from autolabel_tpu.train.pose_refine import init_pose_params
+                tree = dict(tree,
+                            pose=init_pose_params(len(self._pose_init[1])))
+            elif self._pose_init is None and 'pose' in tree:
+                tree = {k: v for k, v in tree.items() if k != 'pose'}
+            else:
+                continue
+            payload[tree_key] = tree
+            # The saved moments cover a different param set; restart.
+            payload['optimizer'] = None
         opt_state = payload.get('optimizer')
         if opt_state is not None:
             # A checkpoint written under a different optimizer config

@@ -33,6 +33,10 @@ def _train_room_field(scene, iters=600, pose_refine=None, dataset=None):
     from autolabel_tpu.train.trainer import SimpleTrainer
 
     ds = dataset or SceneDataset('train', scene, factor=1, batch_size=512)
+    # Seed the batch sampler: the quick 600-iter field's quality (and
+    # so register_camera's recovery floor) is otherwise run-to-run
+    # nondeterministic, which made the recovery assertion flaky.
+    ds.rng = np.random.default_rng(11)
     bound = model_utils.compute_bound(ds.min_bounds, ds.max_bounds)
     grid = HashGridConfig(n_levels=4, n_features=8, log2_hashmap_size=15,
                           base_resolution=16, per_level_scale=1.6)
@@ -191,3 +195,56 @@ def test_register_cli_smoke(tmp_path):
     # (perturbed) initial frame, not teleported.
     assert np.linalg.norm(T_ngp[:3, 3] -
                           np.asarray(dataset.origins[2])) < 0.5
+
+
+def test_resume_across_pose_refine_toggle(tmp_path):
+    """A workspace checkpoint survives toggling --pose-refine in either
+    direction: the model hash excludes the pose deltas, so _try_resume
+    must reconcile the 'pose' entry before optax.masked touches the
+    pytree (it used to crash on the dict-key mismatch)."""
+    from room import make_room_scene
+    from autolabel_tpu.core.dataset import SceneDataset
+    from autolabel_tpu.models.field import Field, FieldConfig
+    from autolabel_tpu.ops.encoders import HashGridConfig
+    from autolabel_tpu.render.renderer import RenderOptions
+    from autolabel_tpu.train.trainer import SimpleTrainer
+
+    scene = str(tmp_path / 'scene')
+    make_room_scene(scene, n_frames=4, width=48, height=36, label_every=2)
+    ds = SceneDataset('train', scene, factor=1, batch_size=512)
+    grid = HashGridConfig(n_levels=2, n_features=2, log2_hashmap_size=8,
+                          base_resolution=8, per_level_scale=1.5)
+    field = Field(FieldConfig(encoding='hg+freq', hidden_dim=32,
+                              hidden_dim_color=32, hidden_dim_semantic=8,
+                              semantic_classes=ds.n_classes, bound=2.0,
+                              grid=grid))
+    ws = str(tmp_path / 'ws')
+
+    def make(pose_refine):
+        return SimpleTrainer('ngp', field, iters=100, workspace=ws,
+                             render_options=RenderOptions(num_steps=8),
+                             metrics=False, pose_refine=pose_refine)
+
+    plain = make(None)
+    plain.train_iterations(ds, 2)
+    plain.epoch = 1
+    plain.save_checkpoint()
+
+    # plain checkpoint -> pose-refine trainer: fresh zero deltas join.
+    ds.emit_frame_rays = True
+    pr = (np.array(ds.rotations), np.array(ds.origins))
+    resumed = make(pr)
+    assert resumed.global_step == plain.global_step
+    assert 'pose' in resumed.state['params']
+    assert float(np.abs(resumed.state['params']['pose']['rot']).max()) == 0
+
+    resumed.train_iterations(ds, 2)
+    resumed.epoch = 2
+    resumed.save_checkpoint()
+
+    # pose-refine checkpoint -> plain trainer: deltas dropped cleanly.
+    ds.emit_frame_rays = False
+    back = make(None)
+    assert back.global_step == resumed.global_step
+    assert 'pose' not in back.state['params']
+    back.train_iterations(ds, 1)
