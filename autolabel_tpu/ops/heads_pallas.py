@@ -146,6 +146,19 @@ def _dot_tn(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _cols(vals, width):
+    """(T, width) fp32 block with vals[j] (each (T, 1)) in column j,
+    zeros elsewhere — built from iota + select because Mosaic TC has no
+    lowering for the scatter primitive that `.at[...].set` produces
+    inside a kernel (interpret mode accepts it; hardware does not)."""
+    t = vals[0].shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, width), 1)
+    out = jnp.zeros((t, width), jnp.float32)
+    for j, v in enumerate(vals):
+        out = jnp.where(col == j, v.astype(jnp.float32), out)
+    return out
+
+
 def _forward_blocks(A, B, ws):
     """The stack on fp32 (T, .) blocks; returns every activation the
     backward needs. Shared verbatim by the fwd and bwd kernels (the
@@ -174,10 +187,8 @@ def _fwd_kernel(A_ref, B_ref, *refs):
     _, _, S, _, _, R, _, _, F, _, L = _forward_blocks(A, B, ws)
     sigma = jnp.exp(jnp.minimum(S[:, :1], 15.0))
     rgb = jax.nn.sigmoid(R[:, :3])
-    out1 = jnp.zeros(out1_ref.shape, out1_ref.dtype)
-    out1 = out1.at[:, :1].set(sigma)
-    out1 = out1.at[:, 1:4].set(rgb)
-    out1_ref[:] = out1
+    out1_ref[:] = _cols([sigma, rgb[:, :1], rgb[:, 1:2], rgb[:, 2:3]],
+                        out1_ref.shape[1]).astype(out1_ref.dtype)
     outf_ref[:] = F
     outl_ref[:] = L
 
@@ -198,7 +209,8 @@ def _bwd_kernel(A_ref, B_ref, *refs):
     # trunc_exp VJP: g * exp(clip(x, -15, 15)) (ops/activation.py).
     dsig = g1[:, :1] * jnp.exp(jnp.clip(S[:, :1], -15.0, 15.0))
     rgb = jax.nn.sigmoid(R[:, :3])
-    dR = jnp.zeros_like(R).at[:, :3].set(g1[:, 1:4] * rgb * (1.0 - rgb))
+    drgb = g1[:, 1:4] * rgb * (1.0 - rgb)
+    dR = _cols([drgb[:, :1], drgb[:, 1:2], drgb[:, 2:3]], R.shape[1])
 
     # logits head
     do1 = _dot_nt(gl_ref[:], W1o) * (o1 > 0)
@@ -221,7 +233,7 @@ def _bwd_kernel(A_ref, B_ref, *refs):
     dWSc = _dot_tn(S, dc1)
     # gather every path into dS, then the sigma trunk
     dS = (_dot_nt(dc1, WSc) + _dot_nt(df1, WSf) + _dot_nt(do1, WSo))
-    dS = dS.at[:, :1].add(dsig)
+    dS = dS + _cols([dsig], dS.shape[1])
     dh2s = _dot_nt(dS, W2s) * (h2s > 0)
     dW2s = _dot_tn(h2s, dS)
     dh1s = _dot_nt(dh2s, W1s) * (h1s > 0)
@@ -249,6 +261,16 @@ def _bwd_kernel(A_ref, B_ref, *refs):
 
 def _interpret():
     return jax.default_backend() != 'tpu'
+
+
+# The backward kernel's working set (recomputed activations + dW
+# partials + the fp32 copies of the bf16 point blocks) peaks at ~18 MB
+# per 1024-point tile at flagship widths — just over Mosaic's default
+# 16 MB scoped-VMEM limit (v5e has 128 MB of VMEM). Raise the limit
+# rather than shrinking TILE: smaller tiles multiply the dW-accumulate
+# revisits of all 14 weight-gradient blocks.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=48 * 1024 * 1024)
 
 
 def _weight_specs(packed):
@@ -286,6 +308,7 @@ def _fused_heads_fwd_impl(packed, A, B):
             jax.ShapeDtypeStruct((n_pad, Cp), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(A_p, B_p, *packed)
     return out1[:n], outf[:n], outl[:n]
 
@@ -330,6 +353,7 @@ def _fused_heads_vjp_bwd(res, g):
                    + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                       for w in packed]),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(A_p, B_p, *packed, g1_p, gf_p, gl_p)
     dA_p, dB_p = outs[0], outs[1]
     dws = tuple(d.astype(w.dtype) for d, w in zip(outs[2:], packed))
@@ -444,6 +468,7 @@ def _mlp3_fwd_impl(packed, X):
         out_specs=point(Dout),
         out_shape=jax.ShapeDtypeStruct((n_pad, Dout), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(X_p, *packed)
     return out[:n]
 
@@ -469,6 +494,7 @@ def _mlp3_vjp_bwd(res, g):
                    + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                       for w in packed]),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(X_p, *packed, g_p)
     dX = outs[0][:n, :X.shape[1]].astype(X.dtype)
     dws = tuple(d.astype(w.dtype) for d, w in zip(outs[1:], packed))

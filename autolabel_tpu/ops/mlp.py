@@ -5,6 +5,8 @@ The reference runs these as tiny-cuda-nn FullyFusedMLP / CutlassMLP
 the right shape is a chain of (N, W) x (W, W) matmuls in bf16 on the MXU;
 XLA fuses the ReLUs in. Params are fp32, compute dtype is configurable.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -29,7 +31,12 @@ def _default_compute_dtype():
     """bf16 on TPU (MXU-native), fp32 elsewhere: XLA:CPU's bf16 dot
     support is incidental — thunk selection varies with fusion context
     and some shapes abort at dispatch ("Unsupported element type for
-    DotThunk") — and the CPU backend only runs tests anyway."""
+    DotThunk") — and the CPU backend only runs tests anyway.
+    AUTOLABEL_COMPUTE_DTYPE overrides (read at trace time) — used by
+    benchmarks/heads_parity.py to build an fp32 on-chip ground truth."""
+    override = os.environ.get('AUTOLABEL_COMPUTE_DTYPE')
+    if override:
+        return jnp.dtype(override).type
     return jnp.bfloat16 if jax.default_backend() == 'tpu' else jnp.float32
 
 

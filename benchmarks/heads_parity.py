@@ -66,27 +66,52 @@ def main():
         lambda p: loss_fn(p, field_x), has_aux=True))(params)
     (lp, op), gp = jax.jit(jax.value_and_grad(
         lambda p: loss_fn(p, field_p), has_aux=True))(params)
+    # fp32 on-chip ground truth (the XLA path with fp32 matmuls): both
+    # compiled bf16 paths carry rounding noise, so judge the kernel by
+    # its DISTANCE TO TRUTH relative to the XLA path's, not pairwise.
+    # The dtype env alone is NOT enough: at DEFAULT matmul precision the
+    # MXU rounds fp32 dot inputs to bf16 anyway (measured bit-identical
+    # to the bf16 path on v5e) — HIGHEST forces the bf16x6 decomposition
+    # that actually carries fp32 input precision.
+    os.environ['AUTOLABEL_COMPUTE_DTYPE'] = 'float32'
+    try:
+        with jax.default_matmul_precision('highest'):
+            (l0, o0), g0 = jax.jit(jax.value_and_grad(
+                lambda p: loss_fn(p, field_x), has_aux=True))(params)
+    finally:
+        del os.environ['AUTOLABEL_COMPUTE_DTYPE']
 
     def rel(a, b):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         scale = max(np.abs(a).max(), 1e-6)
         return float(np.abs(a - b).max() / scale)
 
-    report = {
-        'loss_rel': rel(lx, lp),
-        'image_rel': rel(ox['image'], op['image']),
-        'semantic_rel': rel(ox['semantic'], op['semantic']),
-        'features_rel': rel(ox['semantic_features'],
-                            op['semantic_features']),
-        'grad_grid_rel': rel(gx['encoder']['grid'], gp['encoder']['grid']),
-        'grad_sigma0_rel': rel(gx['sigma_net'][0], gp['sigma_net'][0]),
-        'grad_color0_rel': rel(gx['color_net'][0], gp['color_net'][0]),
-        'grad_semout_rel': rel(gx['semantic_out'][1],
-                               gp['semantic_out'][1]),
-        'batch': n,
+    quantities = {
+        'loss': (lx, lp, l0),
+        'image': (ox['image'], op['image'], o0['image']),
+        'semantic': (ox['semantic'], op['semantic'], o0['semantic']),
+        'features': (ox['semantic_features'], op['semantic_features'],
+                     o0['semantic_features']),
+        'grad_grid': (gx['encoder']['grid'], gp['encoder']['grid'],
+                      g0['encoder']['grid']),
+        'grad_sigma0': (gx['sigma_net'][0], gp['sigma_net'][0],
+                        g0['sigma_net'][0]),
+        'grad_color0': (gx['color_net'][0], gp['color_net'][0],
+                        g0['color_net'][0]),
+        'grad_semout': (gx['semantic_out'][1], gp['semantic_out'][1],
+                        g0['semantic_out'][1]),
     }
-    report['ok'] = all(v < 5e-2 for k, v in report.items()
-                       if k.endswith('_rel'))
+    report, ok = {}, True
+    for name, (x, p, t) in quantities.items():
+        err_x, err_p = rel(t, x), rel(t, p)
+        report[f'{name}_rel'] = rel(x, p)
+        report[f'{name}_err_xla'] = err_x
+        report[f'{name}_err_pallas'] = err_p
+        # the kernel passes if it sits as close to fp32 truth as the
+        # bf16 XLA path does (2x slack), or within absolute bf16 noise
+        ok = ok and (err_p <= max(2.0 * err_x, 5e-2))
+    report['batch'] = n
+    report['ok'] = ok
     print(json.dumps(report))
 
 

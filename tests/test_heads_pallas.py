@@ -208,3 +208,43 @@ def test_fused_mlp3_proposal_parity():
         scale = max(float(jnp.abs(a).max()), 1e-5)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_kernels_lower_for_tpu_aot():
+    """Mosaic-lowers every Pallas kernel for the TPU target from this
+    CPU host (jax.export AOT). Interpret mode accepts primitives the
+    hardware lowering rejects — e.g. `.at[].set` becomes a scatter,
+    which Mosaic TC has no rule for (found on-chip in round 3); this
+    test catches that class of regression without a TPU."""
+    import dataclasses
+
+    from jax import export
+
+    import autolabel_tpu.ops.heads_pallas as hp
+
+    field_x, params, A, B = _field_and_inputs(n=300)
+    packed = pack_head_weights(params, freq_dim=12)
+    orig = hp._interpret
+    hp._interpret = lambda: False
+    try:
+        def loss(packed, A, B):
+            o1, f, l = fused_heads(packed, A, B)
+            return o1.sum() + f.sum() + l.sum()
+
+        export.export(jax.jit(jax.grad(loss, argnums=(0, 1))),
+                      platforms=['tpu'])(packed, A, B)
+
+        config = dataclasses.replace(field_x.config, proposal=True)
+        field = Field(config)
+        p3 = field.init(jax.random.PRNGKey(0))['proposal']
+        packed3 = hp.pack_mlp3(p3)
+        X = jax.random.uniform(jax.random.PRNGKey(5), (257, 36),
+                               jnp.float32, -0.9, 0.9)
+
+        def loss3(packed3, X):
+            return hp.fused_mlp3(packed3, X).sum()
+
+        export.export(jax.jit(jax.grad(loss3, argnums=(0, 1))),
+                      platforms=['tpu'])(packed3, X)
+    finally:
+        hp._interpret = orig
