@@ -17,6 +17,16 @@ import cv2
 import numpy as np
 
 
+def _numeric_sorted(names):
+    """Sort filenames by their integer stem ('12.png' -> 12)."""
+    return sorted(names, key=lambda n: int(os.path.basename(n).split('.')[0]))
+
+
+def _image_size(path, flags=cv2.IMREAD_COLOR):
+    image = cv2.imread(path, flags)
+    return (image.shape[1], image.shape[0])
+
+
 class Camera:
     """Pinhole camera: 3x3 camera matrix + (width, height) image size."""
 
@@ -24,30 +34,17 @@ class Camera:
         self.camera_matrix = np.asarray(camera_matrix, dtype=np.float64)
         self.size = tuple(size)
 
+    fx = property(lambda self: self.camera_matrix[0, 0])
+    fy = property(lambda self: self.camera_matrix[1, 1])
+    cx = property(lambda self: self.camera_matrix[0, 2])
+    cy = property(lambda self: self.camera_matrix[1, 2])
+
     def scale(self, new_size):
         """Return a camera rescaled to a new (width, height)."""
-        sx = new_size[0] / self.size[0]
-        sy = new_size[1] / self.size[1]
         m = self.camera_matrix.copy()
-        m[0, :] *= sx
-        m[1, :] *= sy
+        m[0, :] *= new_size[0] / self.size[0]
+        m[1, :] *= new_size[1] / self.size[1]
         return Camera(m, new_size)
-
-    @property
-    def fx(self):
-        return self.camera_matrix[0, 0]
-
-    @property
-    def fy(self):
-        return self.camera_matrix[1, 1]
-
-    @property
-    def cx(self):
-        return self.camera_matrix[0, 2]
-
-    @property
-    def cy(self):
-        return self.camera_matrix[1, 2]
 
     @classmethod
     def from_path(cls, path, size):
@@ -57,36 +54,22 @@ class Camera:
         np.savetxt(path, self.camera_matrix)
 
 
-def _numeric_sorted(names):
-    """Sort filenames by their integer stem ('12.png' -> 12)."""
-    return sorted(names, key=lambda n: int(os.path.basename(n).split('.')[0]))
-
-
 class Scene:
     """Reader for one scene directory (see module docstring)."""
 
     def __init__(self, scene_path):
         self.path = scene_path
-        self.rgb_path = os.path.join(scene_path, 'rgb')
-        self.raw_rgb_path = os.path.join(scene_path, 'raw_rgb')
-        self.depth_path = os.path.join(scene_path, 'depth')
-        self.raw_depth_path = os.path.join(scene_path, 'raw_depth')
-        self.pose_path = os.path.join(scene_path, 'pose')
+        sub = lambda name: os.path.join(scene_path, name)
+        self.rgb_path = sub('rgb')
+        self.raw_rgb_path = sub('raw_rgb')
+        self.depth_path = sub('depth')
+        self.raw_depth_path = sub('raw_depth')
+        self.pose_path = sub('pose')
         self.poses = self._read_poses()
-        intrinsics = os.path.join(scene_path, 'intrinsics.txt')
-        if os.path.exists(intrinsics):
-            self.camera = Camera.from_path(intrinsics, self.peak_image_size())
         self._metadata = None
-        self._n_classes = None
-
-    def peak_image_size(self):
-        """(width, height) of the raw rgb frames (or rgb if no raw)."""
-        for path in (self.raw_rgb_path, self.rgb_path):
-            if os.path.exists(path):
-                first = os.path.join(path, os.listdir(path)[0])
-                image = cv2.imread(first)
-                return (image.shape[1], image.shape[0])
-        raise ValueError("Doesn't appear to be a valid scene.")
+        if os.path.exists(sub('intrinsics.txt')):
+            self.camera = Camera.from_path(sub('intrinsics.txt'),
+                                           self.peak_image_size())
 
     def _read_poses(self):
         """Read pose/*.txt world-to-camera (T_CW) matrices in numeric
@@ -96,31 +79,21 @@ class Scene:
         self.pose_frames = []
         if not os.path.exists(self.pose_path):
             return []
-        files = [f for f in os.listdir(self.pose_path) if not f.startswith('.')]
-        files = _numeric_sorted(files)
+        files = _numeric_sorted(f for f in os.listdir(self.pose_path)
+                                if not f.startswith('.'))
         self.pose_frames = [f.split('.')[0] for f in files]
         return [np.loadtxt(os.path.join(self.pose_path, f)) for f in files]
 
-    def __iter__(self):
-        return iter(zip(self.poses, self.rgb_paths(), self.depth_paths()))
-
-    def __len__(self):
-        return len(self.poses)
-
     def _get_paths(self, directory):
-        return [
-            os.path.join(directory, f)
-            for f in _numeric_sorted(os.listdir(directory))
-        ]
+        return [os.path.join(directory, f)
+                for f in _numeric_sorted(os.listdir(directory))]
 
+    # Frame-path accessors (names are the cross-repo API surface).
     def rgb_paths(self):
         return self._get_paths(self.rgb_path)
 
     def depth_paths(self):
         return self._get_paths(self.depth_path)
-
-    def semantic_paths(self):
-        return self._get_paths(os.path.join(self.path, 'semantic'))
 
     def raw_rgb_paths(self):
         return self._get_paths(self.raw_rgb_path)
@@ -128,14 +101,36 @@ class Scene:
     def raw_depth_paths(self):
         return self._get_paths(self.raw_depth_path)
 
+    def semantic_paths(self):
+        return self._get_paths(os.path.join(self.path, 'semantic'))
+
     def gt_semantic(self):
         return self._get_paths(os.path.join(self.path, 'gt_semantic'))
 
+    def __iter__(self):
+        return iter(zip(self.poses, self.rgb_paths(), self.depth_paths()))
+
+    def __len__(self):
+        return len(self.poses)
+
     def image_names(self):
         """Rgb image filenames without extensions, numerically sorted."""
-        return [
-            f.split('.')[0] for f in _numeric_sorted(os.listdir(self.rgb_path))
-        ]
+        return [os.path.basename(p).split('.')[0]
+                for p in self.rgb_paths()]
+
+    def peak_image_size(self):
+        """(width, height) of the raw rgb frames (or rgb if no raw)."""
+        for path in (self.raw_rgb_path, self.rgb_path):
+            if os.path.exists(path):
+                return _image_size(os.path.join(path, os.listdir(path)[0]))
+        raise ValueError("Doesn't appear to be a valid scene.")
+
+    def depth_size(self):
+        """(width, height) of the depth frames."""
+        paths = (self.raw_depth_paths()
+                 if os.path.exists(self.raw_depth_path)
+                 else self.depth_paths())
+        return _image_size(paths[0], -1)
 
     def bbox(self):
         """Axis-aligned scene bounds: (2, 3) [min; max] from bbox.txt."""
@@ -146,36 +141,25 @@ class Scene:
         gt_dir = os.path.join(self.path, 'gt_masks')
         if not os.path.exists(gt_dir):
             return []
-        masks = []
-        for f in os.listdir(gt_dir):
-            frame_number = int(f.split('.')[0])
-            masks.append(
-                (frame_number, _read_gt_mask(os.path.join(gt_dir, f), size)))
+        masks = [(int(f.split('.')[0]),
+                  _read_gt_mask(os.path.join(gt_dir, f), size))
+                 for f in os.listdir(gt_dir)]
         return sorted(masks, key=lambda m: m[0])
-
-    def depth_size(self):
-        """(width, height) of the depth frames."""
-        paths = self.raw_depth_paths() if os.path.exists(
-            self.raw_depth_path) else self.depth_paths()
-        image = cv2.imread(paths[0], -1)
-        return (image.shape[1], image.shape[0])
 
     @property
     def metadata(self):
         if self._metadata is None:
-            metadata_path = os.path.join(self.path, 'metadata.json')
-            if not os.path.exists(metadata_path):
+            path = os.path.join(self.path, 'metadata.json')
+            if not os.path.exists(path):
                 return None
-            with open(metadata_path) as f:
+            with open(path) as f:
                 self._metadata = json.load(f)
         return self._metadata
 
     @property
     def n_classes(self):
-        if self._n_classes is None:
-            meta = self.metadata
-            self._n_classes = meta['n_classes'] if meta else None
-        return self._n_classes
+        meta = self.metadata
+        return meta['n_classes'] if meta else None
 
 
 def transform_points(T, points):

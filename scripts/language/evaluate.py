@@ -6,7 +6,8 @@ truth, printing per-class mIoU/mAcc tables.
 
 CLI parity: reference scripts/language/evaluate.py (including the
 hardcoded 606-class model constructor, line 133 — the checkpointed
-semantic head shape for ScanNet experiments).
+semantic head shape for ScanNet experiments). Internally restructured
+around a scene-run iterator and a ScoreBoard accumulator.
 """
 import argparse
 import json
@@ -63,95 +64,128 @@ def read_args():
     return parser.parse_args()
 
 
-def get_nerf_dir(scene, flags):
-    scene_name = os.path.basename(os.path.normpath(scene))
-    if flags.workspace is None:
-        return os.path.join(scene, 'nerf')
-    return os.path.join(flags.workspace, scene_name)
+class ScoreBoard:
+    """Accumulates per-class IoU/accuracy dicts across scenes.
+
+    Each entry maps class-name -> value-or-None; 'total' rows are kept
+    separate so the per-class table never averages them in.
+    """
+
+    def __init__(self):
+        self.ious = []
+        self.accs = []
+
+    def add(self, iou, acc):
+        self.ious.append(iou)
+        self.accs.append(acc)
+
+    def _class_means(self, records):
+        by_class = {}
+        for record in records:
+            for name, value in record.items():
+                if name != 'total':
+                    by_class.setdefault(name, []).append(value)
+        return {name: (np.mean([v for v in vals if v is not None])
+                       if any(v is not None for v in vals) else None)
+                for name, vals in by_class.items()}
+
+    def _total(self, records):
+        totals = [r['total'] for r in records if 'total' in r]
+        return np.mean(totals) if totals else None
+
+    def render(self):
+        from rich.console import Console
+        from rich.table import Table
+        fmt = lambda v: "N/A" if v is None else f"{v * 100:.1f}"
+        table = Table()
+        for column in ('Class', 'mIoU', 'mAcc'):
+            table.add_column(column)
+        iou_means = self._class_means(self.ious)
+        acc_means = self._class_means(self.accs)
+        for name in iou_means:
+            table.add_row(name, fmt(iou_means[name]),
+                          fmt(acc_means.get(name)))
+        table.add_row('Total', fmt(self._total(self.ious)),
+                      fmt(self._total(self.accs)))
+        Console().print(table)
+
+    def dump(self, path):
+        with open(path, 'wt') as f:
+            json.dump({'iou': self.ious, 'acc': self.accs}, f, indent=2)
 
 
-def gather_models(flags, scene_dirs):
-    models = set()
-    for scene in scene_dirs:
-        nerf_dir = get_nerf_dir(scene, flags)
-        if not os.path.exists(nerf_dir):
-            continue
-        for model in os.listdir(nerf_dir):
-            if os.path.exists(os.path.join(nerf_dir, model, 'checkpoints')):
-                models.add(model)
-    return list(models)
+def expand_scene_args(scene_args):
+    """One arg without an rgb/ dir means "a directory of scenes"."""
+    def is_scene(path):
+        return os.path.exists(os.path.join(path, 'rgb'))
+
+    if len(scene_args) == 1 and not is_scene(scene_args[0]):
+        root = scene_args[0]
+        return [os.path.join(root, name) for name in os.listdir(root)
+                if is_scene(os.path.join(root, name))]
+    return list(scene_args)
 
 
-def read_label_map(path):
-    return pandas.read_csv(path)
+def nerf_dir_for(scene, workspace):
+    name = os.path.basename(os.path.normpath(scene))
+    return (os.path.join(scene, 'nerf') if workspace is None
+            else os.path.join(workspace, name))
 
 
-def write_results(out, results):
-    with open(out, 'wt') as f:
-        f.write(json.dumps(results, indent=2))
-
-
-def main(flags):
-    if len(flags.scenes) == 1 and not os.path.exists(
-            os.path.join(flags.scenes[0], 'rgb')):
-        # A directory full of scenes rather than a list of scenes.
-        scene_dir = flags.scenes[0]
-        scene_dirs = [
-            os.path.join(scene_dir, scene)
-            for scene in os.listdir(scene_dir)
-            if os.path.exists(os.path.join(scene_dir, scene, 'rgb'))
-        ]
-    else:
-        scene_dirs = flags.scenes
-
-    original_labels = read_label_map(flags.label_map)
-
-    scene_names = [os.path.basename(os.path.normpath(p))
-                   for p in scene_dirs]
-    scenes = list(zip(scene_dirs, scene_names))
+def iter_scene_runs(flags):
+    """Yield (scene_dir, scene_name, model_path, params) for every scene
+    that has a trained model with at least one checkpoint."""
+    scene_dirs = expand_scene_args(flags.scenes)
+    runs = sorted((os.path.basename(os.path.normpath(d)), d)
+                  for d in scene_dirs)
     if flags.random:
         import random
-        random.shuffle(scenes)
-    else:
-        scenes = sorted(scenes, key=lambda x: x[1])
-    ious, accs = [], []
-    evaluator = None
-
-    for scene, scene_name in scenes:
-        models = gather_models(flags, [scene])
-        if len(models) == 0:
+        random.shuffle(runs)
+    for scene_name, scene in runs:
+        nerf_dir = nerf_dir_for(scene, flags.workspace)
+        hashes = [h for h in (os.listdir(nerf_dir)
+                              if os.path.exists(nerf_dir) else [])
+                  if os.path.exists(os.path.join(nerf_dir, h,
+                                                 'checkpoints'))]
+        if not hashes:
             print(f"Skipping scene {scene_name} because no models were "
                   "found.")
             continue
-        model_hash = models[0]
-        print(f"Using model {model_hash}")
+        model_path = os.path.join(nerf_dir, hashes[0])
+        ckpts = os.path.join(model_path, 'checkpoints')
+        if not os.listdir(ckpts):
+            continue
+        print(f"Using model {hashes[0]}")
         print(f"Evaluating scene {scene_name}")
+        yield scene, scene_name, model_path, model_utils.read_params(
+            model_path)
 
-        nerf_dir = get_nerf_dir(scene, flags)
-        model_path = os.path.join(nerf_dir, model_hash)
-        params = model_utils.read_params(model_path)
+
+def scene_label_map(flags, labels, dataset):
+    if flags.only_scene_classes:
+        in_scene = dataset.scene.metadata.get('classes', None)
+        if in_scene is not None:
+            return labels[labels['id'].isin(in_scene)]
+    return labels
+
+
+def main(flags):
+    labels = pandas.read_csv(flags.label_map)
+    board = ScoreBoard()
+    evaluator = None
+
+    for scene, scene_name, model_path, params in iter_scene_runs(flags):
         dataset = SceneDataset('test',
                                scene,
                                factor=4.0,
                                batch_size=flags.batch_size,
                                lazy=True)
-        if flags.only_scene_classes:
-            classes_in_scene = dataset.scene.metadata.get('classes', None)
-            if classes_in_scene is None:
-                label_map = original_labels
-            else:
-                label_map = original_labels[
-                    original_labels['id'].isin(classes_in_scene)]
-        else:
-            label_map = original_labels
-
+        # Reference parity: the ScanNet experiments checkpoint a
+        # 606-class semantic head regardless of the scene
+        # (reference scripts/language/evaluate.py:133).
         field = model_utils.create_model(dataset.min_bounds,
                                          dataset.max_bounds,
                                          SCANNET_N_CLASSES, params)
-        checkpoint_dir = os.path.join(model_path, 'checkpoints')
-        if (not os.path.exists(checkpoint_dir)
-                or len(os.listdir(checkpoint_dir)) == 0):
-            continue
         model = InferenceModel.from_checkpoint(
             field, model_path, max_ray_batch=flags.batch_size)
 
@@ -168,55 +202,18 @@ def main(flags):
                             time=flags.time,
                             allow_fallback=flags.allow_fallback)
         assert evaluator.features == params.features
-        evaluator.reset(model, label_map, vis_path)
+        evaluator.reset(model, scene_label_map(flags, labels, dataset),
+                        vis_path)
         iou, acc = evaluator.eval(dataset)
+        board.add(iou, acc)
 
-        ious.append(iou)
-        accs.append(acc)
-        print_results([iou], [acc])
-    print_results(ious, accs)
+        per_scene = ScoreBoard()
+        per_scene.add(iou, acc)
+        per_scene.render()
+
+    board.render()
     if flags.out is not None:
-        write_results(flags.out, {'iou': ious, 'acc': accs})
-
-
-def print_results(ious, accs):
-    from rich.console import Console
-    from rich.table import Table
-    table = Table()
-    table.add_column('Class')
-    table.add_column('mIoU')
-    table.add_column('mAcc')
-
-    def percentage_to_string(value):
-        return "N/A" if value is None else f"{value * 100:.1f}"
-
-    reduced_iou, reduced_acc = {}, {}
-    for iou in ious:
-        for key, value in iou.items():
-            reduced_iou.setdefault(key, [])
-            if value is not None:
-                reduced_iou[key].append(value)
-    for acc in accs:
-        for key, value in acc.items():
-            reduced_acc.setdefault(key, [])
-            if value is not None:
-                reduced_acc[key].append(value)
-    for key, values in reduced_iou.items():
-        if key == 'total':
-            continue
-        miou = np.mean(values) if values else None
-        macc = (np.mean(reduced_acc[key])
-                if reduced_acc.get(key) else None)
-        table.add_row(key, percentage_to_string(miou),
-                      percentage_to_string(macc))
-
-    totals = [r['total'] for r in ious if 'total' in r]
-    totals_acc = [r['total'] for r in accs if 'total' in r]
-    table.add_row('Total',
-                  percentage_to_string(np.mean(totals) if totals else None),
-                  percentage_to_string(
-                      np.mean(totals_acc) if totals_acc else None))
-    Console().print(table)
+        board.dump(flags.out)
 
 
 if __name__ == "__main__":
