@@ -17,6 +17,11 @@ from autolabel_tpu.train.trainer import SimpleTrainer
 def trained(sphere_scene):
     dataset = SceneDataset('train', sphere_scene, factor=1.0,
                            batch_size=512)
+    # The sampler's rng is unseeded by default; a bad draw at 300 iters
+    # leaves a field fuzzy enough to flip the 0.1 m inc-vs-full median
+    # depth threshold. Pin it: the test compares two bakes of the SAME
+    # params, so any deterministic field works.
+    dataset.rng = np.random.default_rng(0)
     bound = model_utils.compute_bound(dataset.min_bounds,
                                       dataset.max_bounds)
     field = Field(
