@@ -101,25 +101,56 @@ class OpenVocabEvaluator:
         self.time = time
 
     def reset(self, model, label_map, figure_path=None):
-        """label_map: DataFrame with columns id, prompt [, evaluated]."""
+        """label_map: DataFrame with columns id, prompt [, evaluated].
+
+        A prompt cell may hold several `|`-separated phrasings of the same
+        class (the reference ships multi-synonym prompt banks,
+        /root/reference/configs/scannet_mapping.json). Each phrasing is
+        embedded separately and the class is matched against the
+        renormalized mean — standard CLIP prompt ensembling, which evens
+        out single-phrasing embedding outliers. The first phrasing is the
+        class's display name.
+        """
         self.model = model
         self.label_map = label_map
         self.label_id_map = np.asarray(label_map['id'].values)
-        self.text_features = self.extractor.encode_text(
+        self.text_features = self._ensemble_text_features(
             label_map['prompt'].values)
         self.label_mapping = {0: 'void'}
         self.label_to_color_id = np.zeros(int(label_map['id'].max()) + 1,
                                           dtype=int)
         for index, (i, prompt) in enumerate(
                 zip(label_map['id'], label_map['prompt'])):
-            self.label_mapping[i] = prompt
+            self.label_mapping[i] = str(prompt).split('|')[0].strip()
             self.label_to_color_id[i] = index + 1
+        # Downstream tables key per-class results by the prompt column;
+        # collapse synonym cells to their display name so result keys stay
+        # single phrasings.
+        self.label_map = self.label_map.assign(prompt=[
+            str(p).split('|')[0].strip() for p in self.label_map['prompt']
+        ])
         self.save_figures = figure_path
         if 'evaluated' in self.label_map:
             self.evaluated_labels = label_map[label_map['evaluated'] ==
                                               1]['id'].values
         else:
             self.evaluated_labels = label_map['id'].values
+
+    def _ensemble_text_features(self, prompt_cells):
+        """Encode every `|`-separated phrasing once, then average each
+        class's unit-norm embeddings and renormalize."""
+        groups = [[s.strip() for s in str(cell).split('|') if s.strip()]
+                  for cell in prompt_cells]
+        flat = [p for group in groups for p in group]
+        embedded = np.asarray(self.extractor.encode_text(flat))
+        features = np.empty((len(groups), embedded.shape[-1]),
+                            dtype=embedded.dtype)
+        offset = 0
+        for row, group in enumerate(groups):
+            mean = embedded[offset:offset + len(group)].mean(axis=0)
+            features[row] = mean / (np.linalg.norm(mean) + 1e-6)
+            offset += len(group)
+        return features
 
     def eval(self, dataset, visualize=False):
         raise NotImplementedError()

@@ -119,3 +119,32 @@ def test_openvocab_evaluated_subset(openvocab_scene, trained_model):
     evaluator = OpenVocabEvaluator2D(features='lseg', stride=6, allow_fallback=True)
     evaluator.reset(trained_model, label_map)
     assert list(evaluator.evaluated_labels) == [2]
+
+
+def test_prompt_synonym_ensembling():
+    """`|`-separated phrasings in a prompt cell are CLIP-ensembled: each
+    phrasing embedded separately, unit-mean matched, first phrasing used
+    as the display name."""
+    evaluator = OpenVocabEvaluator2D(features='lseg', stride=6,
+                                     allow_fallback=True)
+    multi = pandas.DataFrame({'id': [1, 2],
+                              'prompt': ['background',
+                                         'sphere | round ball']})
+    evaluator.reset(None, multi)
+    assert evaluator.label_mapping[2] == 'sphere'
+    assert list(evaluator.label_map['prompt']) == ['background', 'sphere']
+    emb = np.asarray(evaluator.extractor.encode_text(['sphere',
+                                                      'round ball']))
+    mean = emb.mean(axis=0)
+    expected = mean / (np.linalg.norm(mean) + 1e-6)
+    np.testing.assert_allclose(evaluator.text_features[1], expected,
+                               rtol=1e-5, atol=1e-6)
+    # Single-phrasing rows match plain encoding (already unit-norm).
+    single = pandas.DataFrame({'id': [1, 2],
+                               'prompt': ['background', 'sphere']})
+    evaluator.reset(None, single)
+    np.testing.assert_allclose(
+        np.asarray(evaluator.text_features),
+        np.asarray(evaluator.extractor.encode_text(['background',
+                                                    'sphere'])),
+        rtol=1e-4, atol=1e-5)
