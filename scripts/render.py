@@ -54,6 +54,18 @@ def read_args():
     parser.add_argument('--num-steps', type=int, default=512)
     parser.add_argument('--size', type=int, nargs=2, default=(480, 360),
                         help="Render resolution (width height).")
+    parser.add_argument('--baked', action='store_true',
+                        help="Render from a baked surface-splat cache "
+                        "(render/baked.py) instead of the volumetric "
+                        "path: one bake sweep up front, then every frame "
+                        "is a single projection + z-buffer scatter — "
+                        "seconds instead of minutes for a full video. "
+                        "Preview-grade: canonical-view color, no "
+                        "feature-PCA tile (BASELINE.md fidelity budget).")
+    parser.add_argument('--bake-resolution', type=int, default=192,
+                        help="Bake grid resolution per axis (--baked).")
+    parser.add_argument('--max-splats', type=int, default=2 ** 19,
+                        help="Splat budget of the baked cache (--baked).")
     return parser.parse_args()
 
 
@@ -115,6 +127,32 @@ def render(model, batch, feature_transform, size=(960, 720), maxdepth=10.0,
     return frame
 
 
+def render_baked(renderer, dataset, frame_index, size=(960, 720),
+                 maxdepth=10.0):
+    """2x2 tile from the splat cache: rgb | depth / semantic | (blank —
+    the cache stores no distillation features; use the volumetric path
+    for the feature-PCA / open-vocab tiles)."""
+    camera = dataset.camera
+    T_CW = np.linalg.inv(dataset.poses[frame_index])
+    outputs = renderer.render(camera.camera_matrix, T_CW, camera.size)
+    image = np.asarray(outputs['image'])
+    depth = np.asarray(outputs['depth'])
+    semantic = np.asarray(outputs['semantic'])
+
+    frame = np.zeros((size[1], size[0], 3), dtype=np.uint8)
+    sw, sh = size[0] // 2, size[1] // 2
+
+    def fit(img):
+        return cv2.resize(img, (sw, sh), interpolation=cv2.INTER_NEAREST)
+
+    frame[:sh, :sw] = fit((np.clip(image, 0, 1) * 255.0).astype(np.uint8))
+    frame[:sh, sw:] = fit(visualization.visualize_depth(depth,
+                                                        maxdepth=maxdepth))
+    frame[sh:, :sw] = fit(
+        (COLORS[semantic % COLORS.shape[0]] * 255).astype(np.uint8))
+    return frame
+
+
 def main():
     flags = read_args()
     model_params = model_utils.read_params(flags.model_dir)
@@ -149,12 +187,26 @@ def main():
                                            num_steps=flags.num_steps,
                                            max_ray_batch=16384)
 
+    baked_renderer = None
+    if flags.baked:
+        from autolabel_tpu.render.baked import BakedRenderer, bake
+        if classes is not None:
+            print("--baked renders closed-set semantics only; "
+                  "--classes/--label-map need the volumetric path.")
+        baked_renderer = BakedRenderer(
+            bake(field, model.params, resolution=flags.bake_resolution,
+                 max_points=flags.max_splats))
+
     writer = cv2.VideoWriter(flags.out, cv2.VideoWriter_fourcc(*'mp4v'),
                              flags.fps, (960, 720))
     for frame_index in tqdm(dataset.indices[::flags.stride]):
-        batch = dataset._get_test(frame_index)
-        frame = render(model, batch, feature_transform,
-                       maxdepth=flags.max_depth, classes=classes)
+        if baked_renderer is not None:
+            frame = render_baked(baked_renderer, dataset, frame_index,
+                                 maxdepth=flags.max_depth)
+        else:
+            batch = dataset._get_test(frame_index)
+            frame = render(model, batch, feature_transform,
+                           maxdepth=flags.max_depth, classes=classes)
         writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
 

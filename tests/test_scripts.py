@@ -88,3 +88,17 @@ def test_render_cli(trained_scene, monkeypatch, tmp_path):
                 [trained_scene, '--model-dir', model_dir, '--out', out,
                  '--num-steps', '16', '--size', '48', '36', '--stride', '4'])
     assert os.path.getsize(out) > 1000
+
+
+def test_render_cli_baked(trained_scene, monkeypatch, tmp_path):
+    """--baked: one bake sweep, then splat-projected frames (no
+    per-frame field queries)."""
+    out = str(tmp_path / 'video_baked.mp4')
+    model_dir = os.path.join(trained_scene, 'nerf',
+                             'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5'
+                             '_tpugrid_simplex')
+    _run_script(monkeypatch, 'render',
+                [trained_scene, '--model-dir', model_dir, '--out', out,
+                 '--size', '48', '36', '--stride', '4', '--baked',
+                 '--bake-resolution', '48', '--max-splats', '16384'])
+    assert os.path.getsize(out) > 1000
