@@ -31,25 +31,64 @@ _BIG = 1e9
 @dataclasses.dataclass
 class BakedScene:
     """Fixed-size splat cloud: positions (K, 3), rgb (K, 3), class ids
-    (K,), per-splat radius (world units), validity mask (K,)."""
+    (K,), per-splat radius (world units), validity mask (K,).
+
+    `sh` optionally holds degree-1 spherical-harmonic color coefficients
+    (K, 3, 3): d rgb / d view-direction-component. With it, the renderer
+    evaluates rgb + sh @ view per splat (view = unit vector camera ->
+    splat), recovering the field's view dependence instead of freezing a
+    canonical downward view."""
     points: jnp.ndarray
     rgb: jnp.ndarray
     semantic: jnp.ndarray
     valid: jnp.ndarray
     cell_size: float
+    sh: jnp.ndarray = None
 
     @property
     def n_valid(self):
         return int(np.asarray(self.valid.sum()))
 
 
+_SH_DIRS = np.array([[1, 0, 0], [-1, 0, 0],
+                     [0, 1, 0], [0, -1, 0],
+                     [0, 0, 1], [0, 0, -1]], np.float32)
+
+
+def _make_shade_fn(field, view_dependent):
+    """Returns jitted shade(params, x) -> (dc_rgb, lin_or_None, class).
+
+    view_dependent fits a degree-1 SH per splat from 6 axis-aligned view
+    probes of the color head (closed-form least squares on +/- axis
+    pairs): dc = mean(colors), lin[a] = (c(+a) - c(-a)) / 2."""
+
+    def shade(p, x):
+        _, geo = field.density(p, x)
+        logits, _ = field.semantic(p, geo)
+        sem = jnp.argmax(logits, axis=-1)
+        if not view_dependent:
+            view = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape)
+            return field.color(p, view, geo), None, sem
+        colors = jnp.stack([
+            field.color(p, jnp.broadcast_to(d, x.shape), geo)
+            for d in jnp.asarray(_SH_DIRS)])  # (6, n, 3)
+        dc = colors.mean(axis=0)
+        lin = jnp.stack([(colors[2 * a] - colors[2 * a + 1]) * 0.5
+                         for a in range(3)], axis=1)  # (n, 3axis, 3rgb)
+        return dc, lin, sem
+
+    return jax.jit(shade)
+
+
 def bake(field, params, resolution=192, max_points=2 ** 19,
-         alpha_threshold=None, chunk=65536):
+         alpha_threshold=None, chunk=65536, view_dependent=True):
     """Evaluate the field on a resolution^3 grid and keep surface cells.
 
-    Color is view-dependent; splats store the color under a canonical
-    downward view — a preview-grade approximation. Returns a BakedScene
-    with exactly max_points rows (top-alpha cells, zero-padded), so
+    With view_dependent (default), each splat stores a degree-1 SH color
+    (DC + linear-in-view terms) fitted from 6 axis view probes, so the
+    preview tracks the field's view dependence; without it, splats store
+    the color under a canonical downward view. Returns a BakedScene with
+    exactly max_points rows (top-alpha cells, zero-padded), so
     downstream rendering jits once.
     """
     bound = field.config.bound
@@ -80,24 +119,18 @@ def bake(field, params, resolution=192, max_points=2 ** 19,
 
     points = grid[candidates]
 
-    def shade_fn(p, x):
-        _, geo = field.density(p, x)
-        # Canonical downward view direction — a preview-grade
-        # approximation of the mild view dependence of indoor scans.
-        view = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape)
-        rgb = field.color(p, view, geo)
-        logits, _ = field.semantic(p, geo)
-        return rgb, jnp.argmax(logits, axis=-1)
-
-    shade = jax.jit(shade_fn)
+    shade = _make_shade_fn(field, view_dependent)
     rgb = np.zeros((max_points, 3), np.float32)
+    sh = np.zeros((max_points, 3, 3), np.float32) if view_dependent else None
     semantic = np.zeros(max_points, np.int32)
     out_points = np.zeros((max_points, 3), np.float32)
     out_points[:n] = points
     for start in range(0, n, chunk):
         sl = slice(start, min(start + chunk, n))
-        c, s = shade(params, jnp.asarray(points[sl]))
+        c, lin, s = shade(params, jnp.asarray(points[sl]))
         rgb[sl] = np.asarray(c)
+        if view_dependent:
+            sh[sl] = np.asarray(lin)
         semantic[sl] = np.asarray(s)
 
     valid = np.zeros(max_points, bool)
@@ -106,19 +139,30 @@ def bake(field, params, resolution=192, max_points=2 ** 19,
                       rgb=jnp.asarray(rgb),
                       semantic=jnp.asarray(semantic),
                       valid=jnp.asarray(valid),
-                      cell_size=cell)
+                      cell_size=cell,
+                      sh=None if sh is None else jnp.asarray(sh))
 
 
 @functools.partial(jax.jit, static_argnames=('height', 'width',
                                              'fill_passes'))
-def _splat_render(points, rgb, semantic, valid, intrinsics, T_CW, height,
-                  width, fill_passes=2):
+def _splat_render(points, rgb, sh, semantic, valid, intrinsics, T_CW,
+                  height, width, fill_passes=2):
     """Project splats, z-buffer them, hole-fill. All dense/scatter ops."""
     rot = T_CW[:3, :3]
     t = T_CW[:3, 3]
     cam = points @ rot.T + t  # (K, 3), OpenCV convention (+z forward)
     z = cam[:, 2]
     in_front = (z > 0.05) & valid
+
+    if sh is not None:
+        # Per-splat view direction (camera center -> splat, the ray
+        # direction convention of core/rays.py) through the degree-1 SH:
+        # rgb + view . lin, clipped to the renderer's output range.
+        center = -rot.T @ t
+        view = points - center
+        view = view / jnp.maximum(
+            jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-8)
+        rgb = jnp.clip(rgb + (view[:, :, None] * sh).sum(axis=1), 0.0, 1.0)
 
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
@@ -198,12 +242,13 @@ class IncrementalBaker:
     """
 
     def __init__(self, field, resolution=128, max_points=2 ** 18,
-                 n_blocks=16, chunk=65536):
+                 n_blocks=16, chunk=65536, view_dependent=True):
         assert resolution % n_blocks == 0
         self.field = field
         self.resolution = resolution
         self.n_blocks = n_blocks
         self.chunk = chunk
+        self.view_dependent = view_dependent
         self.points_per_block = max_points // n_blocks
         self.max_points = self.points_per_block * n_blocks
 
@@ -217,22 +262,23 @@ class IncrementalBaker:
 
         self._points = np.zeros((self.max_points, 3), np.float32)
         self._rgb = np.zeros((self.max_points, 3), np.float32)
+        self._sh = (np.zeros((self.max_points, 3, 3), np.float32)
+                    if view_dependent else None)
         self._semantic = np.zeros(self.max_points, np.int32)
         self._valid = np.zeros(self.max_points, bool)
         self._next_block = 0
+        # Alpha scale for thresholding must be GLOBAL: a mostly-empty
+        # slab's own 99.9th alpha percentile is tiny, and thresholding
+        # relative to it admits low-alpha fog that z-buffers IN FRONT of
+        # real surfaces baked from other slabs. Track a decaying max of
+        # per-slab percentiles (decay lets the scale follow a field whose
+        # densities shrink as training sharpens).
+        self._alpha_scale = 0.0
         self._density_fn = jax.jit(lambda p, x: field.density(p, x)[0])
-        self._shade_fn = jax.jit(self._shade)
+        self._shade_fn = _make_shade_fn(field, view_dependent)
 
-    def _shade(self, p, x):
-        _, geo = self.field.density(p, x)
-        view = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape)
-        rgb = self.field.color(p, view, geo)
-        logits, _ = self.field.semantic(p, geo)
-        return rgb, jnp.argmax(logits, axis=-1)
-
-    def update_block(self, params, block):
-        """Re-evaluate slab `block` and refresh its splat rows."""
-        r = self.resolution
+    def _slab_alpha(self, params, block):
+        """Density-sweep slab `block`: (grid points (M, 3), alpha (M,))."""
         rows = slice(block * self._rows_per_block,
                      (block + 1) * self._rows_per_block)
         grid = np.stack(np.meshgrid(self._centers[rows], self._centers,
@@ -243,8 +289,17 @@ class IncrementalBaker:
             sl = slice(start, start + self.chunk)
             sigmas[sl] = np.asarray(
                 self._density_fn(params, jnp.asarray(grid[sl])))
-        alpha = 1.0 - np.exp(-sigmas * self.cell)
-        threshold = max(0.5 * np.percentile(alpha, 99.9), 0.01)
+        return grid, 1.0 - np.exp(-sigmas * self.cell)
+
+    def update_block(self, params, block, _precomputed=None):
+        """Re-evaluate slab `block` and refresh its splat rows."""
+        if _precomputed is None:
+            grid, alpha = self._slab_alpha(params, block)
+            self._alpha_scale = max(float(np.percentile(alpha, 99.9)),
+                                    0.9 * self._alpha_scale)
+        else:
+            grid, alpha = _precomputed
+        threshold = max(0.5 * self._alpha_scale, 0.01)
         candidates = np.flatnonzero(alpha > threshold)
         if candidates.size > self.points_per_block:
             order = np.argsort(alpha[candidates])[::-1]
@@ -260,11 +315,12 @@ class IncrementalBaker:
             self._points[out.start:out.start + n] = pts
             for start in range(0, n, self.chunk):
                 sl = slice(start, min(start + self.chunk, n))
-                c, s = self._shade_fn(params, jnp.asarray(pts[sl]))
-                self._rgb[out.start + sl.start:out.start + sl.stop] = \
-                    np.asarray(c)
-                self._semantic[out.start + sl.start:out.start + sl.stop] = \
-                    np.asarray(s)
+                c, lin, s = self._shade_fn(params, jnp.asarray(pts[sl]))
+                dst = slice(out.start + sl.start, out.start + sl.stop)
+                self._rgb[dst] = np.asarray(c)
+                if self._sh is not None:
+                    self._sh[dst] = np.asarray(lin)
+                self._semantic[dst] = np.asarray(s)
             self._valid[out.start:out.start + n] = True
 
     def update_next_block(self, params):
@@ -275,15 +331,24 @@ class IncrementalBaker:
         return block
 
     def update_all(self, params):
-        for block in range(self.n_blocks):
-            self.update_block(params, block)
+        """Full refresh: sweep every slab's densities FIRST so the alpha
+        threshold is set by global statistics (matching bake()), then
+        select + shade each slab against it."""
+        slabs = [self._slab_alpha(params, b) for b in range(self.n_blocks)]
+        self._alpha_scale = max(
+            max(float(np.percentile(a, 99.9)) for _, a in slabs),
+            0.9 * self._alpha_scale)
+        for block, pre in enumerate(slabs):
+            self.update_block(params, block, _precomputed=pre)
 
     def scene(self):
         return BakedScene(points=jnp.asarray(self._points),
                           rgb=jnp.asarray(self._rgb),
                           semantic=jnp.asarray(self._semantic),
                           valid=jnp.asarray(self._valid),
-                          cell_size=self.cell)
+                          cell_size=self.cell,
+                          sh=(None if self._sh is None
+                              else jnp.asarray(self._sh)))
 
 
 class BakedRenderer:
@@ -303,8 +368,9 @@ class BakedRenderer:
         z-depth, semantic (H, W) class ids."""
         width, height = int(size[0]), int(size[1])
         image, depth, classes = _splat_render(
-            self.baked.points, self.baked.rgb, self.baked.semantic,
-            self.baked.valid, jnp.asarray(intrinsics, jnp.float32),
+            self.baked.points, self.baked.rgb, self.baked.sh,
+            self.baked.semantic, self.baked.valid,
+            jnp.asarray(intrinsics, jnp.float32),
             jnp.asarray(T_CW, jnp.float32), height, width,
             self.fill_passes)
         return {'image': image, 'depth': depth, 'semantic': classes}

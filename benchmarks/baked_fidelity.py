@@ -40,6 +40,14 @@ def main():
     parser.add_argument('--factor', type=float, default=4.0,
                         help="Preview downscale factor (reference GUI "
                         "renders at factor 4).")
+    parser.add_argument('--resolution', type=int, default=128,
+                        help="Bake grid resolution (GUI default 128).")
+    parser.add_argument('--max-points', type=int, default=2 ** 18,
+                        help="Splat budget (GUI default 2^18).")
+    parser.add_argument('--no-sh', action='store_true',
+                        help="Disable the degree-1 SH view-dependent "
+                        "splat color (fall back to the round-2 canonical "
+                        "downward view).")
     flags = parser.parse_args()
 
     from autolabel_tpu import model_utils
@@ -62,7 +70,9 @@ def main():
                                      n_classes, params_flags)
     model = InferenceModel.from_checkpoint(field, workspace)
 
-    baker = IncrementalBaker(field, resolution=128, max_points=2 ** 18)
+    baker = IncrementalBaker(field, resolution=flags.resolution,
+                             max_points=flags.max_points,
+                             view_dependent=not flags.no_sh)
     baker.update_all(model.params)
     baked_renderer = BakedRenderer(baker.scene())
     camera = dataset.camera
@@ -100,6 +110,9 @@ def main():
         'workspace': os.path.basename(workspace),
         'frames': n,
         'factor': flags.factor,
+        'resolution': flags.resolution,
+        'max_points': flags.max_points,
+        'sh': not flags.no_sh,
         'psnr_baked_vs_volumetric': round(float(np.mean(b_vs_v)), 2),
         'psnr_volumetric_vs_gt': round(float(np.mean(v_vs_gt)), 2),
         'psnr_baked_vs_gt': round(float(np.mean(b_vs_gt)), 2),

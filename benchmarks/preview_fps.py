@@ -42,6 +42,8 @@ def main():
                         help='log2 of the splat budget')
     parser.add_argument('--frames', type=int, default=30)
     parser.add_argument('--size', type=int, nargs=2, default=(1280, 720))
+    parser.add_argument('--no-sh', action='store_true',
+                        help='Disable degree-1 SH view-dependent color.')
     flags = parser.parse_args()
 
     import jax
@@ -60,7 +62,8 @@ def main():
 
     bake_start = time.perf_counter()
     baked = bake(field, params, resolution=flags.resolution,
-                 max_points=2 ** flags.max_points, alpha_threshold=0.0)
+                 max_points=2 ** flags.max_points, alpha_threshold=0.0,
+                 view_dependent=not flags.no_sh)
     # Fill the budget regardless of the random field's density so the
     # timing reflects the full splat count.
     bake_s = time.perf_counter() - bake_start
@@ -92,7 +95,8 @@ def main():
 
     # Steady-state incremental refresh at the backend's exact config.
     baker = IncrementalBaker(field, resolution=flags.resolution,
-                             max_points=2 ** flags.max_points)
+                             max_points=2 ** flags.max_points,
+                             view_dependent=not flags.no_sh)
     baker.update_next_block(params)  # compile
     n_blocks = 4
     block_start = time.perf_counter()
@@ -107,6 +111,7 @@ def main():
         'resolution': list(flags.size),
         'splats': int(baked.n_valid),
         'bake_s': round(bake_s, 1),
+        'sh': not flags.no_sh,
         'ms_per_frame': round(elapsed / flags.frames * 1000, 2),
         'block_refresh_s': round(block_s, 2),
         'full_refresh_s': round(block_s * baker.n_blocks, 1),

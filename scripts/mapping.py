@@ -157,35 +157,38 @@ class HLoc:
                                 'distortion_parameters.txt'),
                    self.colmap_distortion_params)
 
-    def _undistort_images(self):
-        print("Undistorting images according to the estimated intrinsics...")
-        rgb_out = os.path.join(self.scene.path, "rgb")
-        depth_out = os.path.join(self.scene.path, "depth")
-        os.makedirs(rgb_out, exist_ok=True)
-        os.makedirs(depth_out, exist_ok=True)
-
-        color_undistorter = ImageUndistorter(self.colmap_K,
-                                             self.colmap_distortion_params,
-                                             self.scene.camera.size)
-        depth_camera = Camera(self.colmap_K, self.scene.camera.size).scale(
-            self.scene.depth_size())
-        depth_undistorter = ImageUndistorter(depth_camera.camera_matrix,
-                                             self.colmap_distortion_params,
-                                             depth_camera.size)
-
-        for image_path in self.scene.raw_rgb_paths():
-            image = cv2.imread(image_path, cv2.IMREAD_UNCHANGED)
-            cv2.imwrite(os.path.join(rgb_out, os.path.basename(image_path)),
-                        color_undistorter.undistort(image))
-        for depth_path in self.scene.raw_depth_paths():
-            depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
-            cv2.imwrite(os.path.join(depth_out,
-                                     os.path.basename(depth_path)),
-                        depth_undistorter.undistort(depth, depth=True))
-
     def run(self):
         self._run_sfm()
-        self._undistort_images()
+        undistort_scene(self.scene, self.colmap_K,
+                        self.colmap_distortion_params)
+
+
+def undistort_scene(scene, K, distortion_params):
+    """Rectify raw_rgb/raw_depth into rgb/depth with the SfM-estimated
+    OPENCV intrinsics (the HLoc backend's post-reconstruction stage;
+    parity: reference scripts/mapping.py:139-175). The depth undistorter
+    runs at the depth stream's own resolution via a scaled camera."""
+    print("Undistorting images according to the estimated intrinsics...")
+    rgb_out = os.path.join(scene.path, "rgb")
+    depth_out = os.path.join(scene.path, "depth")
+    os.makedirs(rgb_out, exist_ok=True)
+    os.makedirs(depth_out, exist_ok=True)
+
+    color_undistorter = ImageUndistorter(K, distortion_params,
+                                         scene.camera.size)
+    depth_camera = Camera(K, scene.camera.size).scale(scene.depth_size())
+    depth_undistorter = ImageUndistorter(depth_camera.camera_matrix,
+                                         distortion_params,
+                                         depth_camera.size)
+
+    for image_path in scene.raw_rgb_paths():
+        image = cv2.imread(image_path, cv2.IMREAD_UNCHANGED)
+        cv2.imwrite(os.path.join(rgb_out, os.path.basename(image_path)),
+                    color_undistorter.undistort(image))
+    for depth_path in scene.raw_depth_paths():
+        depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+        cv2.imwrite(os.path.join(depth_out, os.path.basename(depth_path)),
+                    depth_undistorter.undistort(depth, depth=True))
 
 
 class CV2Mapping:

@@ -91,6 +91,51 @@ def test_bake_and_render(trained):
         assert image[sphere_hits, 0].mean() > image[sphere_hits, 2].mean()
 
 
+def test_view_dependent_sh_color(trained):
+    """Degree-1 SH baking: coefficients exist, the rendered image stays
+    in range, and per-splat SH evaluation reproduces the field's color
+    at the probe directions up to the degree-1 truncation error."""
+    import jax.numpy as jnp
+
+    from autolabel_tpu.render.baked import _SH_DIRS, _make_shade_fn
+
+    field, params, dataset = trained
+    baked = bake(field, params, resolution=64, max_points=2 ** 13)
+    assert baked.sh is not None and baked.sh.shape == (2 ** 13, 3, 3)
+
+    flat = bake(field, params, resolution=64, max_points=2 ** 13,
+                view_dependent=False)
+    assert flat.sh is None
+
+    # SH reconstruction at the 6 probe dirs vs the field's true color:
+    # dc + lin @ d is the least-squares deg-1 fit on those probes, so
+    # the reconstruction error is bounded by the view-dependence the
+    # fit cannot express — small for this mostly-Lambertian fixture.
+    valid = np.asarray(baked.valid)
+    pts = jnp.asarray(np.asarray(baked.points)[valid][:256])
+    dc, lin, _ = _make_shade_fn(field, True)(params, pts)
+    _, geo = field.density(params, pts)
+    errs = []
+    for d in _SH_DIRS:
+        true = field.color(params, jnp.broadcast_to(jnp.asarray(d),
+                                                    pts.shape), geo)
+        recon = dc + np.einsum('a,nab->nb', d, np.asarray(lin))
+        errs.append(float(jnp.abs(recon - true).mean()))
+    assert np.mean(errs) < 0.15
+
+    # Both variants render in range.
+    K = dataset.scene.camera.camera_matrix
+    w, h = dataset.scene.camera.size
+    import os
+
+    from autolabel_tpu.core.rays import convert_pose
+    T_CW_file = np.loadtxt(os.path.join(dataset.scene.path, 'pose', '0.txt'))
+    T_CW = np.linalg.inv(convert_pose(T_CW_file))
+    for b in (baked, flat):
+        img = np.asarray(BakedRenderer(b).render(K, T_CW, (w, h))['image'])
+        assert img.min() >= 0.0 and img.max() <= 1.0
+
+
 def test_baked_render_is_static_shape(trained):
     """Two different camera poses reuse the same compiled render."""
     field, params, dataset = trained
