@@ -272,8 +272,12 @@ class IncrementalBaker:
         # relative to it admits low-alpha fog that z-buffers IN FRONT of
         # real surfaces baked from other slabs. Track a decaying max of
         # per-slab percentiles (decay lets the scale follow a field whose
-        # densities shrink as training sharpens).
+        # densities shrink as training sharpens). The decay target is
+        # 0.9x per FULL ROTATION; per-block updates apply the n_blocks-th
+        # root so the scale never sags below ~0.9x of the dense slab's
+        # percentile regardless of where in the rotation a slab sits.
         self._alpha_scale = 0.0
+        self._block_decay = 0.9 ** (1.0 / n_blocks)
         self._density_fn = jax.jit(lambda p, x: field.density(p, x)[0])
         self._shade_fn = _make_shade_fn(field, view_dependent)
 
@@ -296,7 +300,7 @@ class IncrementalBaker:
         if _precomputed is None:
             grid, alpha = self._slab_alpha(params, block)
             self._alpha_scale = max(float(np.percentile(alpha, 99.9)),
-                                    0.9 * self._alpha_scale)
+                                    self._block_decay * self._alpha_scale)
         else:
             grid, alpha = _precomputed
         threshold = max(0.5 * self._alpha_scale, 0.01)
@@ -326,7 +330,23 @@ class IncrementalBaker:
     def update_next_block(self, params):
         """Refresh the next slab in rotation; returns the block index."""
         block = self._next_block
-        self.update_block(params, block)
+        if self._alpha_scale == 0.0:
+            # Cold start: with no global alpha statistics yet, the first
+            # rotation would threshold each slab against only the slabs
+            # seen so far — transiently readmitting the low-alpha fog the
+            # global scale exists to exclude. One density-only sweep sets
+            # the scale before any slab commits splats; the current
+            # slab's sweep is reused for its own update.
+            precomputed = None
+            for b in range(self.n_blocks):
+                pre = self._slab_alpha(params, b)
+                self._alpha_scale = max(self._alpha_scale,
+                                        float(np.percentile(pre[1], 99.9)))
+                if b == block:
+                    precomputed = pre
+            self.update_block(params, block, _precomputed=precomputed)
+        else:
+            self.update_block(params, block)
         self._next_block = (block + 1) % self.n_blocks
         return block
 

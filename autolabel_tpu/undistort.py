@@ -13,8 +13,13 @@ class ImageUndistorter:
         self.K = np.asarray(camera_matrix)
         self.D = np.asarray(distortion_coefficients)
         self.size = tuple(size)
-        self.new_K, _ = cv2.getOptimalNewCameraMatrix(self.K, self.D,
-                                                      self.size, 0, self.size)
+        # Remap onto the ORIGINAL K (reference undistort.py:26-28 passes
+        # newCameraMatrix=K): intrinsics.txt written by the mapping stage
+        # then stays valid for the rectified pixels. Using
+        # getOptimalNewCameraMatrix here would silently change the
+        # effective intrinsics of rgb/depth while downstream ray
+        # generation and ScaleEstimation keep reading the SfM K.
+        self.new_K = self.K.copy()
         self.map_x, self.map_y = cv2.initUndistortRectifyMap(
             self.K, self.D, None, self.new_K, self.size, cv2.CV_32FC1)
 

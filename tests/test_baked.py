@@ -199,3 +199,34 @@ def test_incremental_baker_matches_full_bake(trained):
     order = [baker.update_next_block(params) for _ in range(baker.n_blocks)]
     assert order == list(range(baker.n_blocks))
     assert baker._next_block == 0
+
+
+def test_incremental_baker_cold_start_uses_global_scale(trained):
+    """A FRESH baker driven only by update_next_block (the
+    benchmarks/preview_fps.py path) must not threshold its first slabs
+    against partial statistics: the first call sweeps every slab's
+    densities so _alpha_scale is global from the start, and the
+    per-block decay keeps the scale within ~0.9x over a full rotation
+    instead of 0.9**n_blocks."""
+    from autolabel_tpu.render.baked import IncrementalBaker
+
+    field, params, _ = trained
+    baker = IncrementalBaker(field, resolution=96, max_points=2 ** 15,
+                             n_blocks=8)
+    baker.update_next_block(params)
+    cold_scale = baker._alpha_scale
+    assert cold_scale > 0.0
+
+    # The cold-start scale equals the global max slab percentile, not
+    # just slab 0's.
+    global_scale = max(
+        float(np.percentile(baker._slab_alpha(params, b)[1], 99.9))
+        for b in range(baker.n_blocks))
+    assert cold_scale == pytest.approx(global_scale, rel=1e-6)
+
+    # Over the rest of the rotation the scale never sags below 0.9x the
+    # global percentile (the old 0.9-per-block decay reached ~0.43x by
+    # block 8).
+    for _ in range(baker.n_blocks - 1):
+        baker.update_next_block(params)
+        assert baker._alpha_scale >= 0.9 * global_scale - 1e-9

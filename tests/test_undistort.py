@@ -98,13 +98,14 @@ def test_undistort_scene_recovers_pinhole_projection(distorted_scene):
     assert depth.dtype == np.uint16 and depth.shape == (120, 160)
 
     # After rectification each dot must sit at the PLAIN pinhole
-    # projection under the undistorter's rectified camera (the new_K
-    # cv2.getOptimalNewCameraMatrix picks, matching the reference's
-    # remap setup).
+    # projection under the ORIGINAL K: the reference remaps onto
+    # newCameraMatrix=K (reference undistort.py:26-28), which keeps the
+    # intrinsics.txt written by the mapping stage consistent with the
+    # rectified rgb/depth pixels.
     from autolabel_tpu.undistort import ImageUndistorter
     und = ImageUndistorter(K, dist, (rgb.shape[1], rgb.shape[0]))
-    expected = (points_c[:, :2] / points_c[:, 2:]) @ \
-        und.new_K[:2, :2].T + und.new_K[:2, 2]
+    assert np.allclose(und.new_K, K)
+    expected = (points_c[:, :2] / points_c[:, 2:]) @ K[:2, :2].T + K[:2, 2]
     found = _dot_centers(rgb, len(points_c))
     # Match each expected dot to the nearest found centroid.
     for e in expected:
@@ -114,9 +115,7 @@ def test_undistort_scene_recovers_pinhole_projection(distorted_scene):
     # nearest-neighbor remap preserves the metric values exactly.
     Kd = K.copy()
     Kd[:2] *= 0.5
-    undd = ImageUndistorter(Kd, dist, (depth.shape[1], depth.shape[0]))
-    expected_d = (points_c[:, :2] / points_c[:, 2:]) @ \
-        undd.new_K[:2, :2].T + undd.new_K[:2, 2]
+    expected_d = (points_c[:, :2] / points_c[:, 2:]) @ Kd[:2, :2].T + Kd[:2, 2]
     values = set(np.unique(depth[depth > 0]))
     for e, p in zip(expected_d, points_c):
         x, y = int(round(e[0])), int(round(e[1]))
