@@ -2,15 +2,22 @@
 
 Parity: autolabel/features/lseg.py:9-66 (lang-seg ViT-L/16 backbone,
 half-resolution 512-d pixel features aligned with CLIP text embeddings;
-encode_text -> unit-norm N x 512). Text-encoder resolution order:
-  1. the lang-seg module's CLIP (needs the lang-seg package + network);
+encode_text -> unit-norm N x 512). Resolution order, per side:
+
+Pixel features:
+  1. the lang-seg torch stack (needs the lang-seg package + CUDA env);
+  2. the TPU-native JAX image tower (features/lseg_jax.py — ViT-L/16 +
+     DPT decoder + 512-d CLIP-space projection, numerically validated
+     against transformers ViT/DPTNeck), fed from the `checkpoint`
+     argument or AUTOLABEL_LSEG_WEIGHTS=<lang-seg demo_e200.ckpt>;
+  3. deterministic stand-in features (only with allow_fallback).
+
+Text embeddings:
+  1. the lang-seg module's CLIP;
   2. AUTOLABEL_CLIP_WEIGHTS=<OpenAI CLIP .pt/state dict> +
-     AUTOLABEL_CLIP_BPE=<bpe_simple_vocab_16e6.txt.gz> — the TPU-native
-     JAX CLIP text transformer (features/clip_text_jax.py, numerically
-     validated against transformers);
+     AUTOLABEL_CLIP_BPE=<bpe_simple_vocab_16e6.txt.gz> — the JAX CLIP
+     text transformer (features/clip_text_jax.py);
   3. deterministic hash text encoder (only with allow_fallback).
-Pixel features fall back to the deterministic extractor whenever
-lang-seg itself is absent.
 """
 import warnings
 
@@ -25,6 +32,9 @@ class LSegFE:
         self._evaluator = None
         self._text_encoder = None
         self._jax_clip = None
+        self._jax_image = None
+        self._fallback = None
+        self._hash_text = None
         try:
             import clip  # noqa: F401
             import torch
@@ -53,39 +63,46 @@ class LSegFE:
             self._clip = clip
             self._torch = torch
             self._text_encoder = module.net.clip_pretrained
+            return
         except Exception as e:
-            from autolabel_tpu.features import clip_text_jax
-            self._jax_clip = clip_text_jax.from_env()
-            if self._jax_clip is None and not allow_fallback:
-                raise RuntimeError(
-                    "LSeg (lang-seg + CLIP) is unavailable "
-                    f"({e!r}). Set AUTOLABEL_CLIP_WEIGHTS + "
-                    "AUTOLABEL_CLIP_BPE for the real (JAX) CLIP text "
-                    "encoder, or pass --allow-fallback to use "
-                    "deterministic stand-in features + hash text encoder "
-                    "(testing only — NOT real vision-language features)."
-                ) from e
-            if self._jax_clip is not None:
-                # The env-var CLIP satisfies only the TEXT side. Stand-in
-                # pixel features remain an explicit opt-in: open-vocab
-                # matching of real text embeddings against random pixel
-                # features is meaningless and must not happen silently.
-                warnings.warn(
-                    f"lang-seg unavailable ({e!r}); using the JAX CLIP "
-                    "text encoder (real weights). Pixel feature-map "
-                    "extraction "
-                    + ("uses deterministic STAND-IN features "
-                       "(--allow-fallback)." if allow_fallback else
-                       "is disabled — pass --allow-fallback to use "
-                       "deterministic stand-in features (testing only)."))
-            else:
-                warnings.warn(
-                    f"LSeg unavailable ({e!r}); using deterministic "
-                    "fallback features + hash text encoder.")
-            self._fallback = None
-            if allow_fallback or self._jax_clip is None:
-                self._fallback = RandomFeatureExtractor(self.out_dim,
-                                                        stride=2, seed=1512)
+            lang_seg_err = e
+
+        from autolabel_tpu.features import clip_text_jax, lseg_jax
+        self._jax_clip = clip_text_jax.from_env()
+        try:
+            self._jax_image = (lseg_jax.load(checkpoint) if checkpoint
+                               else lseg_jax.from_env())
+        except Exception as load_err:
+            warnings.warn('LSeg JAX tower weight load failed '
+                          f'({load_err!r}); pixel features unavailable.')
+        if self._jax_image is not None:
+            self.out_dim = self._jax_image.out_dim
+
+        if (self._jax_clip is None and self._jax_image is None
+                and not allow_fallback):
+            raise RuntimeError(
+                "LSeg (lang-seg + CLIP) is unavailable "
+                f"({lang_seg_err!r}). Set AUTOLABEL_LSEG_WEIGHTS (or pass "
+                "--checkpoint) for the JAX image tower and "
+                "AUTOLABEL_CLIP_WEIGHTS + AUTOLABEL_CLIP_BPE for the JAX "
+                "CLIP text encoder, or pass --allow-fallback to use "
+                "deterministic stand-in features + hash text encoder "
+                "(testing only — NOT real vision-language features).")
+        warnings.warn(
+            f'lang-seg unavailable ({lang_seg_err!r}); pixel features: '
+            + ('JAX LSeg tower (real weights)' if self._jax_image
+               else 'STAND-IN (--allow-fallback)' if allow_fallback
+               else 'DISABLED (set AUTOLABEL_LSEG_WEIGHTS or pass '
+                    '--allow-fallback)')
+            + '; text embeddings: '
+            + ('JAX CLIP (real weights).' if self._jax_clip
+               else 'hash stand-in (--allow-fallback).' if allow_fallback
+               else 'DISABLED (set AUTOLABEL_CLIP_WEIGHTS/BPE or pass '
+                    '--allow-fallback).'))
+        if self._jax_image is None and allow_fallback:
+            self._fallback = RandomFeatureExtractor(self.out_dim,
+                                                    stride=2, seed=1512)
+        if self._jax_clip is None:
             self._hash_text = HashTextEncoder(self.out_dim)
 
     def shape(self, input_shape):
@@ -96,6 +113,11 @@ class LSegFE:
         if self._text_encoder is None:
             if self._jax_clip is not None:
                 return self._jax_clip.encode_text(prompts)
+            if self._hash_text is None:
+                raise RuntimeError(
+                    'LSeg text embeddings are unavailable (no lang-seg, '
+                    'no AUTOLABEL_CLIP_WEIGHTS/BPE). Pass --allow-fallback '
+                    'for the hash stand-in (testing only).')
             return self._hash_text.encode_text(prompts)
         torch = self._torch
         with torch.inference_mode():
@@ -109,13 +131,15 @@ class LSegFE:
     def __call__(self, x):
         """x: (B, 3, H, W) float in [0, 1] -> (B, H/2, W/2, 512)."""
         if self._evaluator is None:
+            if self._jax_image is not None:
+                return self._jax_image(x)
             if self._fallback is None:
                 raise RuntimeError(
-                    "LSeg pixel-feature extraction is unavailable "
-                    "(lang-seg not installed; AUTOLABEL_CLIP_WEIGHTS "
-                    "provides only the text encoder). Pass "
-                    "--allow-fallback to use deterministic stand-in "
-                    "features (testing only — NOT real LSeg features).")
+                    'LSeg pixel-feature extraction is unavailable '
+                    '(lang-seg not installed and no '
+                    'AUTOLABEL_LSEG_WEIGHTS). Pass --allow-fallback to '
+                    'use deterministic stand-in features (testing only — '
+                    'NOT real LSeg features).')
             return self._fallback(x)
         torch = self._torch
         import torch.nn.functional as F
