@@ -36,8 +36,11 @@ class InferenceModel:
 
     @classmethod
     def from_checkpoint(cls, field, model_dir, **kwargs):
-        params, _ = model_utils.load_checkpoint(
-            os.path.join(model_dir, 'checkpoints'))
+        """Loads our pickles AND reference torch checkpoints (imported
+        via torch_import; the field is swapped for its geo_relu variant
+        so the heads match the reference's relu'd geo features)."""
+        field, params, _ = model_utils.load_into_field(
+            field, os.path.join(model_dir, 'checkpoints'))
         return cls(field, params, **kwargs)
 
     def render(self, batch):

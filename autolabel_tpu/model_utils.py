@@ -143,15 +143,53 @@ def create_model(min_bounds, max_bounds, n_classes, flags):
     return Field(config)
 
 
-def load_checkpoint(checkpoint_dir):
+def load_checkpoint(checkpoint_dir, config=None):
     """Load (params, ema_params) from a checkpoint dir; prefers best.pth.
 
-    Parity: autolabel/model_utils.py:9-18.
+    Parity: autolabel/model_utils.py:9-18. Reference torch checkpoints
+    are imported onto the field pytree when `config` is supplied
+    (torch_import.convert_torch_payload) — note the imported weights
+    expect FieldConfig(geo_relu=True); use load_into_field to get the
+    matching field handled automatically.
     """
     payload = checkpoints.load_checkpoint(checkpoint_dir)
     if payload is None:
         raise FileNotFoundError(f"No checkpoints in {checkpoint_dir}")
+    from autolabel_tpu import torch_import
+    if torch_import.looks_like_torch_state(payload):
+        if config is None:
+            raise ValueError(
+                f'{checkpoint_dir} holds a reference torch checkpoint; '
+                'pass the FieldConfig (or use load_into_field) to '
+                'import it')
+        payload = torch_import.convert_torch_payload(payload, config)
     return payload['model'], payload.get('ema', payload['model'])
+
+
+def load_into_field(field, checkpoint_dir):
+    """(field, params, ema) with reference torch checkpoints imported
+    and the parity adaptations applied to the returned field: the
+    geo_relu head flag plus the source grid conventions (the reference's
+    own grid shape under the matching HashGridConfig variant — 'tcnn'
+    for hg+freq, 'torch_ngp' for hg — regardless of any TPU grid
+    preset, since the imported tables ARE the reference's)."""
+    import dataclasses
+    payload = checkpoints.load_checkpoint(checkpoint_dir)
+    if payload is None:
+        raise FileNotFoundError(f"No checkpoints in {checkpoint_dir}")
+    from autolabel_tpu import torch_import
+    if torch_import.looks_like_torch_state(payload):
+        config = field.config
+        grid = dataclasses.replace(config, grid=None).grid_config
+        if grid is not None:
+            variant = ('tcnn' if config.encoding == 'hg+freq'
+                       else 'torch_ngp')
+            grid = dataclasses.replace(grid, variant=variant)
+        field = Field(dataclasses.replace(config, geo_relu=True,
+                                          heads_impl='xla',
+                                          grid_impl='xla', grid=grid))
+        payload = torch_import.convert_torch_payload(payload, field.config)
+    return field, payload['model'], payload.get('ema', payload['model'])
 
 
 def read_params(workspace):

@@ -63,6 +63,12 @@ class FieldConfig:
     # queries ~4x on TPU where the grid gather dominates the step.
     proposal: bool = False
     proposal_hidden_dim: int = 64
+    # Reference ALNetwork.forward (models.py:159) relu's the geometric
+    # features before the color/semantic heads; our native fields pass
+    # them raw. Set True for checkpoints imported from reference
+    # workspaces (torch_import.py) so the heads see the distribution
+    # they were trained on.
+    geo_relu: bool = False
 
     @property
     def grid_config(self):
@@ -226,6 +232,8 @@ class Field:
         c = self.config
         if c.heads_impl != 'pallas' or c.encoding not in ('hg', 'hg+freq'):
             return False
+        if c.geo_relu:  # imported reference heads: xla path only
+            return False
         return supported(params, 12 if c.encoding == 'hg+freq' else 0)
 
     def all_heads(self, params: Params, x, d, key=None, n_samples=1,
@@ -259,9 +267,11 @@ class Field:
 
     def color(self, params: Params, d, geo_feat):
         """Unit view dirs (N, 3) + geo features -> rgb (N, 3) in [0, 1]."""
+        geo_feat = geo_feat.astype(jnp.float32)
+        if self.config.geo_relu:
+            geo_feat = jnp.maximum(geo_feat, 0.0)
         return jax.nn.sigmoid(mlp_apply(
-            params['color_net'],
-            [sh_encode(d), geo_feat.astype(jnp.float32)]))
+            params['color_net'], [sh_encode(d), geo_feat]))
 
     def proposal_sigma(self, params: Params, x):
         """Cheap proposal density: (N, 3) -> (N,). Pure MXU (freq + MLP),
@@ -286,11 +296,12 @@ class Field:
         output doubles as the distillation target, the logits head sees
         relu(features) concatenated with geo features.
         """
-        sem_features = mlp_apply(params['semantic_features'],
-                                 geo_feat.astype(jnp.float32))
+        geo_feat = geo_feat.astype(jnp.float32)
+        if self.config.geo_relu:
+            geo_feat = jnp.maximum(geo_feat, 0.0)
+        sem_features = mlp_apply(params['semantic_features'], geo_feat)
         logits = mlp_apply(params['semantic_out'],
-                           [jnp.maximum(sem_features, 0.0),
-                            geo_feat.astype(jnp.float32)])
+                           [jnp.maximum(sem_features, 0.0), geo_feat])
         return logits, sem_features
 
     # -- param groups --------------------------------------------------------

@@ -87,12 +87,32 @@ def sh_encode(d):
 
 @dataclasses.dataclass(frozen=True)
 class HashGridConfig:
-    """Multiresolution hash grid hyperparameters (instant-ngp layout)."""
+    """Multiresolution hash grid hyperparameters (instant-ngp layout).
+
+    variant selects the lattice/indexing convention:
+      'native'    — ours: pos = x * N_l with N_l = floor(base * plc^l),
+                    dense stride N_l + 1, every level hashed modulo the
+                    full table. The TPU-first default.
+      'tcnn'      — tiny-cuda-nn grid.h semantics (for checkpoints
+                    imported from the reference's tcnn Grid encoders,
+                    autolabel/models.py:38-48): scale_l = base*plc^l - 1,
+                    pos = x * scale_l + 0.5, resolution ceil(scale)+1,
+                    dense stride = resolution, per-level entry counts
+                    next_multiple(min(res^3, T), 8).
+      'torch_ngp' — torch-ngp gridencoder semantics (align_corners=False;
+                    the reference's 'hg' encoding, models.py:143): same
+                    positions as tcnn but dense stride = resolution + 1
+                    and per-level counts next_multiple(min(T, (res+1)^3),
+                    8).
+    All variants share the coherent prime hash (1, 2654435761,
+    805459861), so tables from the source frameworks drop in entry-for-
+    entry under their own variant (torch_import.py)."""
     n_levels: int = 16
     n_features: int = 2
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 2.0
+    variant: str = 'native'
 
     @classmethod
     def from_desired_resolution(cls, desired_resolution, **kwargs):
@@ -110,10 +130,47 @@ class HashGridConfig:
 
     @property
     def resolutions(self):
-        """Per-level grid resolution N_l = floor(base * scale^l)."""
+        """Per-level grid resolution (knots per axis - 1 for 'native',
+        knots per axis for the imported variants — mirrors each
+        convention's own meaning of 'resolution')."""
+        if self.variant == 'native':
+            return tuple(
+                int(math.floor(self.base_resolution
+                               * self.per_level_scale ** l))
+                for l in range(self.n_levels))
         return tuple(
-            int(math.floor(self.base_resolution * self.per_level_scale ** l))
+            int(math.ceil(self.base_resolution * self.per_level_scale ** l
+                          - 1.0)) + 1
             for l in range(self.n_levels))
+
+    @property
+    def scales(self):
+        """Per-level position scale: pos = x * scale + pos_offset."""
+        if self.variant == 'native':
+            return tuple(float(r) for r in self.resolutions)
+        return tuple(
+            self.base_resolution * self.per_level_scale ** l - 1.0
+            for l in range(self.n_levels))
+
+    @property
+    def pos_offset(self):
+        return 0.0 if self.variant == 'native' else 0.5
+
+    @property
+    def dense_strides(self):
+        if self.variant == 'tcnn':
+            return self.resolutions
+        return tuple(r + 1 for r in self.resolutions)
+
+    @property
+    def level_sizes(self):
+        """Entries per level (hash modulus). Uniform for 'native';
+        source-exact per level for the imported variants."""
+        if self.variant == 'native':
+            return (self.table_size,) * self.n_levels
+        return tuple(
+            (min(s ** 3, self.table_size) + 7) // 8 * 8
+            for s in self.dense_strides)
 
     @property
     def out_dim(self):
@@ -147,8 +204,11 @@ def hashgrid_init(key, config, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -1e-4, 1e-4)
 
 
-def _corner_index(cell, corner, stride, use_dense, table_size):
-    """Table index of one interpolation-cell corner, shape (L, N)."""
+def _corner_index(cell, corner, stride, use_dense, level_size):
+    """Table index of one interpolation-cell corner, shape (L, N).
+
+    level_size: hash modulus — an int32 array broadcastable against the
+    cell coordinates ((L, 1) across levels or (1,) for one level)."""
     ox, oy, oz = corner
     cx = cell[0] + ox
     cy = cell[1] + oy
@@ -156,8 +216,13 @@ def _corner_index(cell, corner, stride, use_dense, table_size):
     hashed = (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
               ^ cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
               ^ cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
-    hashed = (hashed % jnp.uint32(table_size)).astype(jnp.int32)
-    dense = cx + stride * (cy + stride * cz)
+    size = jnp.asarray(level_size)
+    hashed = (hashed % size.astype(jnp.uint32)).astype(jnp.int32)
+    # Dense indices wrap modulo the level size too (tcnn grid.h /
+    # torch-ngp both `return index % hashmap_size`): the +0.5 voxel
+    # offset of the imported variants pushes boundary corners one knot
+    # past resolution^3. A no-op for 'native' (indices always in range).
+    dense = (cx + stride * (cy + stride * cz)) % size
     return jnp.where(use_dense, dense, hashed)
 
 
@@ -171,16 +236,17 @@ def _corner_weight(frac, corner):
 
 def _grid_geometry(x, config):
     """Shared cell/fraction computation, all arrays (., L, N)."""
-    res = jnp.asarray(config.resolutions, dtype=jnp.float32)  # (L,)
-    pos = res[None, :, None] * x.T[:, None, :]  # (3, L, N)
-    cell = jnp.floor(pos)
+    scales = jnp.asarray(config.scales, dtype=jnp.float32)  # (L,)
+    pos = scales[None, :, None] * x.T[:, None, :] + config.pos_offset
+    cell = jnp.floor(pos)  # (3, L, N)
     frac = pos - cell
-    strides = np.asarray([r + 1 for r in config.resolutions],
-                         dtype=np.int64)
-    dense_ok = (strides ** 3) <= config.table_size
+    strides = np.asarray(config.dense_strides, dtype=np.int64)
+    sizes = np.asarray(config.level_sizes, dtype=np.int64)
+    dense_ok = (strides ** 3) <= sizes
     use_dense = jnp.asarray(dense_ok)[:, None]  # (L, 1)
     stride = jnp.asarray(strides, dtype=jnp.int32)[:, None]  # (L, 1)
-    return cell.astype(jnp.int32), frac, stride, use_dense
+    size = jnp.asarray(sizes, dtype=jnp.int32)[:, None]  # (L, 1)
+    return cell.astype(jnp.int32), frac, stride, use_dense, size
 
 
 @functools.partial(jax.jit,
@@ -311,13 +377,13 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
 
 def _encode_rows(table, x, config):
     n = x.shape[0]
-    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     outs = []
     for l in range(config.n_levels):
         acc = jnp.zeros((n, config.n_features), table.dtype)
         for corner in _CORNERS:
             idx = _corner_index(cell[:, l], corner, stride[l], use_dense[l],
-                                config.table_size)  # (N,)
+                                size[l])  # (N,)
             weight = _corner_weight(frac[:, l], corner).astype(table.dtype)
             acc = acc + jnp.take(table[l], idx, axis=0) * weight[:, None]
         outs.append(acc)
@@ -353,24 +419,24 @@ def _simplex_corners(frac_l):
 
 
 def _exact_level_rows_simplex(table, l, cell, frac, stride, use_dense,
-                              config):
+                              size, config):
     """4-corner tetrahedral interpolation of one level (rows layout)."""
     offsets, weights = _simplex_corners(frac[:, l])
     acc = jnp.zeros((cell.shape[-1], config.n_features), table.dtype)
     for ci in range(4):
         idx = _corner_index(cell[:, l],
                             (offsets[ci, 0], offsets[ci, 1], offsets[ci, 2]),
-                            stride[l], use_dense[l], config.table_size)
+                            stride[l], use_dense[l], size[l])
         acc = acc + jnp.take(table[l], idx, axis=0) \
             * weights[ci].astype(table.dtype)[:, None]
     return acc
 
 
 def _encode_rows_simplex(table, x, config):
-    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     return jnp.concatenate([
-        _exact_level_rows_simplex(table, l, cell, frac, stride, use_dense,
-                                  config) for l in range(config.n_levels)
+        _exact_level_rows_simplex(table, l, cell, frac, stride,
+                                  use_dense, size, config) for l in range(config.n_levels)
     ], axis=-1)
 
 
@@ -386,7 +452,7 @@ def _encode_stochastic_simplex(table, x, config, key, n_samples,
     variance at the same number of gathered rows.
     """
     n = x.shape[0]
-    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     n_levels = config.n_levels
     n_exact = min(max(exact_levels, 0), n_levels)
 
@@ -399,7 +465,8 @@ def _encode_stochastic_simplex(table, x, config, key, n_samples,
     for l in range(n_levels):
         if l >= n_levels - n_exact:
             outs.append(_exact_level_rows_simplex(table, l, cell, frac,
-                                                  stride, use_dense, config))
+                                                  stride, use_dense,
+                                                  size, config))
             continue
         offsets, weights = _simplex_corners(frac[:, l])
         cum = jnp.cumsum(weights[:3], axis=0)  # (3, N)
@@ -412,7 +479,7 @@ def _encode_stochastic_simplex(table, x, config, key, n_samples,
                           jnp.where(r[None, :] == 2, offsets[2],
                                     offsets[3])))  # (3, N)
             idx = _corner_index(cell[:, l], (off[0], off[1], off[2]),
-                                stride[l], use_dense[l], config.table_size)
+                                stride[l], use_dense[l], size[l])
             return jnp.take(table[l], idx, axis=0)
 
         acc = None
@@ -436,7 +503,7 @@ def _encode_residual(table, x, config, key, exact_levels, interp):
     full stochastic mass of two independent/antithetic draws.
     """
     n = x.shape[0]
-    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     n_levels = config.n_levels
     n_exact = min(max(exact_levels, 0), n_levels)
     us = jax.random.uniform(key, (n_levels, n))
@@ -457,7 +524,7 @@ def _encode_residual(table, x, config, key, exact_levels, interp):
 
     def gather(l, off):
         idx = _corner_index(cell[:, l], (off[0], off[1], off[2]), stride[l],
-                            use_dense[l], config.table_size)
+                            use_dense[l], size[l])
         return jnp.take(table[l], idx, axis=0)
 
     outs = []
@@ -466,7 +533,7 @@ def _encode_residual(table, x, config, key, exact_levels, interp):
             exact = (_exact_level_rows_simplex if interp == 'simplex' else
                      _exact_level_rows)
             outs.append(exact(table, l, cell, frac, stride, use_dense,
-                              config))
+                              size, config))
             continue
         if interp == 'simplex':
             simplex_offsets, weights = _simplex_corners(frac[:, l])
@@ -541,13 +608,13 @@ def _encode_sampled_bwd_fwd(config, interp, bwd_rows, table, x, u):
 
 def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
     x, u = res
-    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     f = config.n_features
     cot = jnp.zeros((config.n_levels, config.table_size, f), g.dtype)
 
     def scatter(cot, l, off, coef, g_l):
         idx = _corner_index(cell[:, l], (off[0], off[1], off[2]), stride[l],
-                            use_dense[l], config.table_size)
+                            use_dense[l], size[l])
         return cot.at[l, idx].add(coef[:, None].astype(g_l.dtype) * g_l)
 
     for l in range(config.n_levels):
@@ -585,19 +652,21 @@ def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
 _encode_sampled_bwd.defvjp(_encode_sampled_bwd_fwd, _encode_sampled_bwd_bwd)
 
 
-def _one_corner_rows(table, l, cell, stride, use_dense, config, upper_l):
+def _one_corner_rows(table, l, cell, stride, use_dense, size, config,
+                     upper_l):
     """Gather the one level-l corner row selected by upper_l (3, N)."""
     idx = _corner_index(cell[:, l], (upper_l[0], upper_l[1], upper_l[2]),
-                        stride[l], use_dense[l], config.table_size)
+                        stride[l], use_dense[l], size[l])
     return jnp.take(table[l], idx, axis=0)  # (N, F)
 
 
-def _exact_level_rows(table, l, cell, frac, stride, use_dense, config):
+def _exact_level_rows(table, l, cell, frac, stride, use_dense, size,
+                      config):
     """Full 8-corner trilinear interpolation of one level (rows layout)."""
     acc = jnp.zeros((cell.shape[-1], config.n_features), table.dtype)
     for corner in _CORNERS:
         idx = _corner_index(cell[:, l], corner, stride[l], use_dense[l],
-                            config.table_size)
+                            size[l])
         weight = _corner_weight(frac[:, l], corner).astype(table.dtype)
         acc = acc + jnp.take(table[l], idx, axis=0) * weight[:, None]
     return acc
@@ -615,7 +684,7 @@ def _encode_stochastic(table, x, config, key, n_samples, exact_levels=0):
     `exact_levels` levels are interpolated exactly.
     """
     n = x.shape[0]
-    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     n_levels = config.n_levels
     n_exact = min(max(exact_levels, 0), n_levels)
 
@@ -630,7 +699,7 @@ def _encode_stochastic(table, x, config, key, n_samples, exact_levels=0):
             def one(u_l):
                 upper = (u_l < frac[:, l]).astype(jnp.int32)
                 return _one_corner_rows(table, l, cell, stride, use_dense,
-                                        config, upper)
+                                        size, config, upper)
             acc = None
             for s in range(n_pairs):
                 pair = one(us[s][:, l]) + one(1.0 - us[s][:, l])
@@ -644,7 +713,7 @@ def _encode_stochastic(table, x, config, key, n_samples, exact_levels=0):
         for l in range(n_levels):
             if l >= n_levels - n_exact:
                 outs.append(_exact_level_rows(table, l, cell, frac, stride,
-                                              use_dense, config))
+                                              use_dense, size, config))
             else:
                 outs.append(level_stochastic(l))
         return jnp.concatenate(outs, axis=-1)
@@ -659,7 +728,7 @@ def _encode_stochastic(table, x, config, key, n_samples, exact_levels=0):
     def draw_lanes(u):
         upper = (u < frac).astype(jnp.int32)  # (3, L, N)
         idx = _corner_index(cell, (upper[0], upper[1], upper[2]), stride,
-                            use_dense, config.table_size)  # (L, N)
+                            use_dense, size)  # (L, N)
         return table_ft[level[:, None, :], f_idx, idx[:, None, :]]
 
     acc = None
@@ -681,7 +750,7 @@ def _encode_stochastic(table, x, config, key, n_samples, exact_levels=0):
 
 def _encode_lanes(table, x, config):
     n = x.shape[0]
-    cell, frac, stride, use_dense = _grid_geometry(x, config)
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     level = jnp.arange(config.n_levels, dtype=jnp.int32)[:, None]  # (L, 1)
     table_ft = table.transpose(0, 2, 1)  # (L, F, T), lanes on T
 
@@ -690,7 +759,7 @@ def _encode_lanes(table, x, config):
     f_idx = jnp.arange(config.n_features)[None, :, None]
     for corner in _CORNERS:
         idx = _corner_index(cell, corner, stride, use_dense,
-                            config.table_size)  # (L, N)
+                            size)  # (L, N)
         weight = _corner_weight(frac, corner).astype(table.dtype)
         feats = table_ft[level[:, None, :], f_idx, idx[:, None, :]]
         out = out + feats * weight[:, None, :]

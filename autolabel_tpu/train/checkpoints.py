@@ -9,6 +9,7 @@ suffix so every reference tool that globs the workspace keeps working.
 import glob
 import os
 import pickle
+import zipfile
 
 import jax
 import numpy as np
@@ -42,8 +43,18 @@ def save_checkpoint(path, state, extra=None, include_optimizer=True):
 
 
 def load_checkpoint_file(path):
+    """Our pickle payloads, plus torch.save archives read torch-free
+    (utils/torch_zip.py) — reference workspaces load instead of erroring;
+    torch_import.convert_torch_payload maps them onto the field pytree."""
+    if zipfile.is_zipfile(path):
+        from autolabel_tpu.utils.torch_zip import load_torch_file
+        return load_torch_file(path)
     with open(path, 'rb') as f:
-        return pickle.load(f)
+        payload = pickle.load(f)
+    if isinstance(payload, int):  # legacy torch.save magic number
+        from autolabel_tpu.utils.torch_zip import load_torch_file
+        return load_torch_file(path)
+    return payload
 
 
 def find_checkpoint(checkpoint_dir):
