@@ -12,6 +12,10 @@ import numpy as np
 import pandas
 import pytest
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, 'scripts'))

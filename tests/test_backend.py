@@ -10,6 +10,10 @@ import pytest
 from autolabel_tpu.backend import TrainingLoop
 from autolabel_tpu.utils.ros_utils import MessageBuffer
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 
 class _Flags:
     lr = 1e-4

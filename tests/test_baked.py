@@ -12,6 +12,10 @@ from autolabel_tpu.render.renderer import RenderOptions
 from autolabel_tpu.train.losses import LossOptions
 from autolabel_tpu.train.trainer import SimpleTrainer
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope='module')
 def trained(sphere_scene):

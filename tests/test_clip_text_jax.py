@@ -40,6 +40,7 @@ def _tokens(config, batch=3, seq=11, seed=0):
     return tokens
 
 
+@pytest.mark.slow
 def test_matches_transformers_clip_text():
     torch = pytest.importorskip('torch')
     model, config = _small_hf_model()
@@ -61,6 +62,7 @@ def test_matches_transformers_clip_text():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_openai_and_hf_loaders_agree():
     """The same weights expressed in OpenAI naming load to the same
     pytree the HF loader produces."""

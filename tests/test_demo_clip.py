@@ -13,6 +13,10 @@ import pytest
 
 from autolabel_tpu.features import demo_clip
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope='module')
 def room_teacher(tmp_path_factory):

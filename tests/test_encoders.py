@@ -114,6 +114,7 @@ def test_desired_resolution_scale():
     assert abs(res[-1] - 2 ** 18) / 2 ** 18 < 0.01
 
 
+@pytest.mark.slow
 def test_stochastic_corners_unbiased():
     """Mean of stochastic-corner encodes over many keys converges to the
     exact trilinear interpolation (both wide-row and narrow layouts)."""
@@ -154,6 +155,7 @@ def test_stochastic_corner_rows_are_table_rows():
         assert dists.min() < 1e-7
 
 
+@pytest.mark.slow
 def test_stochastic_exact_levels_unbiased_and_exact_on_fine():
     """exact_levels keeps the finest levels exactly trilinear while the
     coarse levels remain unbiased (both layouts)."""
@@ -346,6 +348,7 @@ def test_simplex_grad_flows_to_table():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_residual_estimator_unbiased_and_lower_variance():
     """The Rao-Blackwellized 2-row estimator (deterministic max-weight
     corner + residual draw) has the exact mean and, for simplex,
@@ -422,6 +425,7 @@ def test_sampled_backward_forward_is_exact():
 
 @pytest.mark.parametrize('interp', ['trilinear', 'simplex'])
 @pytest.mark.parametrize('rows', [1, 2, (1, 2)])
+@pytest.mark.slow
 def test_sampled_backward_gradient_unbiased(interp, rows):
     """E over draws of the sampled-backward table gradient equals the
     exact-interpolation gradient (the estimator is unbiased)."""

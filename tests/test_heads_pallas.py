@@ -20,6 +20,9 @@ from autolabel_tpu.ops.encoders import HashGridConfig
 from autolabel_tpu.ops.heads_pallas import (fused_heads, heads_reference,
                                             pack_head_weights, supported)
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 GRID = HashGridConfig(n_levels=4, n_features=8, log2_hashmap_size=10,
                       base_resolution=8, per_level_scale=1.6)
 

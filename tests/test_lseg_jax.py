@@ -11,6 +11,10 @@ import pytest
 
 from autolabel_tpu.features import lseg_jax, vit_jax
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 
 TINY = lseg_jax.LSegConfig(
     vit=vit_jax.ViTConfig(patch_size=16, width=32, depth=4, heads=2),

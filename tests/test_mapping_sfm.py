@@ -12,6 +12,10 @@ import sys
 import numpy as np
 import pytest
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 cv2 = pytest.importorskip('cv2')

@@ -2,6 +2,7 @@
 import jax.numpy as jnp
 
 from autolabel_tpu.train.metrics import MetricsLogger, read_metrics
+import pytest
 
 
 def test_metrics_roundtrip(tmp_path):
@@ -16,6 +17,7 @@ def test_metrics_roundtrip(tmp_path):
     assert all('wall_s' in r for r in records)
 
 
+@pytest.mark.slow
 def test_trainer_writes_metrics(tmp_path, sphere_scene):
     """A short CLI-shaped training run produces a loss-curve artifact."""
     import sys

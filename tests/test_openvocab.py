@@ -18,6 +18,10 @@ from autolabel_tpu.models.field import Field, FieldConfig
 from autolabel_tpu.ops.encoders import HashGridConfig
 from autolabel_tpu.utils.ply import write_ply_pointcloud
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 LABEL_MAP = pandas.DataFrame({'id': [1, 2],
                               'prompt': ['background', 'sphere']})
 

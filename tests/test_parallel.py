@@ -15,6 +15,11 @@ from autolabel_tpu.parallel import batch_sharding, make_mesh, replicated
 from autolabel_tpu.render.renderer import RenderOptions
 from autolabel_tpu.train.losses import LossOptions
 from autolabel_tpu.train.trainer import SimpleTrainer
+import pytest
+
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 TINY_GRID = HashGridConfig(n_levels=4,
                            n_features=2,

@@ -12,6 +12,10 @@ import jax
 import numpy as np
 import pytest
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 cv2 = pytest.importorskip('cv2')
@@ -71,7 +75,13 @@ def test_register_camera_recovers_pose(tmp_path):
     scene = str(tmp_path / 'scene')
     make_room_scene(scene, n_frames=10, width=80, height=60,
                     label_every=2)
-    ds, field, trainer = _train_room_field(scene)
+    # 2000 iters: a 600-iter field's photometric optimum sits ~4 deg
+    # from truth (its blur floor), which made the recovery assertion
+    # hover AT the threshold and flip with run-to-run numerics
+    # (measured r4: 600 iters -> 5.0->3.8..6.0 deg; 2000 iters ->
+    # 5.0->0.91 deg / 0.099->0.016 m). The sharper field asserts the
+    # property this test is about with real margin.
+    ds, field, trainer = _train_room_field(scene, iters=2000)
 
     # 5 deg / ~10 cm off: well outside the registration accuracy floor
     # (~1-2 deg at this field blur — the photometric optimum of a
@@ -104,11 +114,10 @@ def test_register_camera_recovers_pose(tmp_path):
 
     rot_err1 = _rot_err_deg(R1, R_gt)
     t_err1 = float(np.linalg.norm(t1 - t_gt))
-    # Recovery is floor-limited by this quick 600-iter field's blur
-    # (measured ~0.6x on both axes here; a 2000-iter field reaches
-    # 1.2 deg / 2.4 cm from the same 5 deg / 10 cm start — NOTES.md).
-    assert rot_err1 < rot_err0 * 0.75, (rot_err0, rot_err1)
-    assert t_err1 < t_err0 * 0.75, (t_err0, t_err1)
+    # Measured r4 at this config: 0.91 deg / 0.016 m — the 0.5x bars
+    # leave >2x margin against host-to-host numeric variance.
+    assert rot_err1 < rot_err0 * 0.5, (rot_err0, rot_err1)
+    assert t_err1 < t_err0 * 0.5, (t_err0, t_err1)
     assert np.isfinite(loss)
 
 

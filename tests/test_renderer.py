@@ -98,6 +98,7 @@ def test_render_with_upsampling(small_field):
     assert jnp.isfinite(out['image']).all()
 
 
+@pytest.mark.slow
 def test_render_differentiable(small_field):
     field, params = small_field
     o = jnp.array([[0.0, 0.0, -2.0]])

@@ -6,6 +6,10 @@ import sys
 import numpy as np
 import pytest
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'scripts')
 sys.path.insert(0, SCRIPTS)

@@ -15,6 +15,10 @@ from autolabel_tpu.render.renderer import RenderOptions
 from autolabel_tpu.train.losses import LossOptions
 from autolabel_tpu.train.trainer import InteractiveTrainer, SimpleTrainer
 
+# Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 SMALL_GRID = HashGridConfig(n_levels=8,
                             n_features=2,
                             log2_hashmap_size=15,
