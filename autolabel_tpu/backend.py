@@ -91,6 +91,7 @@ class TrainingLoop:
         self.baked_preview = getattr(flags, 'baked_preview', False)
         self.rebake_every = getattr(flags, 'rebake_every', 2000)
         self._baker = None
+        self._governed = None
         self._bake_step = None
 
     def _load_pca(self):
@@ -139,22 +140,28 @@ class TrainingLoop:
     def _get_baked_image(self, image_index):
         import numpy as np
 
-        from autolabel_tpu.render.baked import BakedRenderer, IncrementalBaker
+        from autolabel_tpu.render.baked import (GovernedPreviewRenderer,
+                                                IncrementalBaker)
 
         if self._baker is None:
             # One-time full population (the old full-bake cost, paid
             # once); afterwards _maybe_update_bake keeps it fresh one
             # slab at a time. Config matches benchmarks/preview_fps.py's
-            # measured 2^18-splat budget (42.8 fps at 720p).
+            # 2^18-splat budget; the fps governor then adapts the
+            # rendered subset to hold the 30 fps target under whatever
+            # the day's device/tunnel latency is.
             self._baker = IncrementalBaker(self.field, resolution=128,
                                            max_points=2 ** 18)
             self._baker.update_all(self.trainer.eval_params())
             self._bake_step = self.trainer.global_step
+            self._governed = GovernedPreviewRenderer(self._baker.scene())
+        else:
+            self._governed.set_scene(self._baker.scene())
 
         T_CW = np.linalg.inv(self.train_dataset.poses[image_index])
         camera = self.train_dataset.camera
-        renderer = BakedRenderer(self._baker.scene())
-        out = renderer.render(camera.camera_matrix, T_CW, camera.size)
+        out = self._governed.render(camera.camera_matrix, T_CW,
+                                    camera.size)
         self.log(f"Sending {image_index} (baked)")
         self.connection.send(('image', {
             'image_index': image_index,

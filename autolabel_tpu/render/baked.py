@@ -371,6 +371,107 @@ class IncrementalBaker:
                               else jnp.asarray(self._sh)))
 
 
+class GovernedPreviewRenderer:
+    """BakedRenderer with an fps governor: adapts the splat budget to
+    hold a target frame rate.
+
+    The ≥30 fps 720p preview north star (BASELINE.json) is otherwise
+    weather-dependent — the fixed 2^18 budget measured 42.8 fps one day
+    and 24.9 the next under tunnel variance (BASELINE.md r2/r3). The
+    governor holds an EMA of measured frame times and steps between
+    pre-sliced budget LEVELS: level k renders every 2^k-th splat
+    (stride subsampling keeps spatial coverage; hole-filling gets one
+    extra pass per halving). Levels jit once each per frame size;
+    switching costs nothing afterwards. Hysteresis: step down (fewer
+    splats) when the EMA misses target, step up only when it beats
+    target by `headroom` (default 0.45 < 0.5 so the ~2x cost of the
+    richer level still fits the budget — no flapping), and never twice
+    within `cooldown` frames.
+
+    Compile frames and the first frame after a level switch are
+    excluded from the EMA (they measure XLA, not the steady state).
+    """
+
+    def __init__(self, baked: BakedScene, target_fps=30.0, n_levels=3,
+                 ema=0.25, headroom=0.45, cooldown=5, time_fn=None):
+        self.target_fps = target_fps
+        self.headroom = headroom
+        self.cooldown = cooldown
+        self._ema_w = ema
+        self._time = time_fn if time_fn is not None else _perf_counter
+        self.n_levels = n_levels
+        self.level = 0
+        self._ema_s = None
+        self._since_switch = 0
+        self._rendered = set()
+        self.set_scene(baked)
+
+    def set_scene(self, baked: BakedScene):
+        """Swap in a fresh bake (slicing is metadata-only on device)."""
+        self._levels = []
+        for k in range(self.n_levels):
+            stride = 1 << k
+            self._levels.append(BakedScene(
+                points=baked.points[::stride],
+                rgb=baked.rgb[::stride],
+                semantic=baked.semantic[::stride],
+                valid=baked.valid[::stride],
+                cell_size=baked.cell_size * stride,
+                sh=None if baked.sh is None else baked.sh[::stride]))
+
+    def _renderer(self):
+        return BakedRenderer(self._levels[self.level],
+                             fill_passes=2 + self.level)
+
+    def warmup(self, intrinsics, size):
+        """Compile every level for this frame size up front (off the
+        interactive path; each level is one XLA program)."""
+        for level in range(self.n_levels):
+            BakedRenderer(self._levels[level],
+                          fill_passes=2 + level).render(
+                              intrinsics, np.eye(4), size)
+            self._rendered.add((level, tuple(size)))
+
+    def render(self, intrinsics, T_CW, size):
+        key = (self.level, tuple(size))
+        first = key not in self._rendered
+        start = self._time()
+        out = self._renderer().render(intrinsics, T_CW, size)
+        out['depth'].block_until_ready()
+        elapsed = self._time() - start
+        self._rendered.add(key)
+        self._since_switch += 1
+        if not first and self._since_switch > 1:
+            self._ema_s = (elapsed if self._ema_s is None else
+                           self._ema_w * elapsed
+                           + (1 - self._ema_w) * self._ema_s)
+            self._govern()
+        out['splat_level'] = self.level
+        return out
+
+    def _govern(self):
+        if self._ema_s is None or self._since_switch <= self.cooldown:
+            return
+        budget = 1.0 / self.target_fps
+        if self._ema_s > budget and self.level < self.n_levels - 1:
+            self.level += 1
+        elif (self._ema_s < budget * self.headroom and self.level > 0):
+            self.level -= 1
+        else:
+            return
+        self._since_switch = 0
+        self._ema_s = None
+
+    @property
+    def fps_estimate(self):
+        return None if not self._ema_s else 1.0 / self._ema_s
+
+
+def _perf_counter():
+    import time
+    return time.perf_counter()
+
+
 class BakedRenderer:
     """Renders preview frames from a BakedScene at any resolution."""
 

@@ -51,6 +51,7 @@ def main():
     from autolabel_tpu.models.field import Field, FieldConfig
     from autolabel_tpu.ops.encoders import TPU_GRID
     from autolabel_tpu.render.baked import (BakedRenderer,
+                                            GovernedPreviewRenderer,
                                             IncrementalBaker, bake)
 
     field = Field(
@@ -93,6 +94,18 @@ def main():
 
     fps = flags.frames / elapsed
 
+    # Governed renderer (the backend's wiring): warm every budget level,
+    # then measure SUSTAINED fps with the governor choosing the level.
+    governed = GovernedPreviewRenderer(baked, target_fps=30.0)
+    governed.warmup(intrinsics, (width, height))
+    gov_frames = 3 * flags.frames
+    gov_start = time.perf_counter()
+    for i in range(gov_frames):
+        out = governed.render(intrinsics, poses[i % len(poses)],
+                              (width, height))
+    gov_elapsed = time.perf_counter() - gov_start
+    gov_fps = gov_frames / gov_elapsed
+
     # Steady-state incremental refresh at the backend's exact config.
     baker = IncrementalBaker(field, resolution=flags.resolution,
                              max_points=2 ** flags.max_points,
@@ -106,13 +119,16 @@ def main():
 
     print(json.dumps({
         'metric': 'preview_fps_720p',
-        'value': round(fps, 2),
+        'value': round(gov_fps, 2),
         'unit': 'frames/s',
         'resolution': list(flags.size),
         'splats': int(baked.n_valid),
         'bake_s': round(bake_s, 1),
         'sh': not flags.no_sh,
-        'ms_per_frame': round(elapsed / flags.frames * 1000, 2),
+        'fixed_budget_fps': round(fps, 2),
+        'fixed_ms_per_frame': round(elapsed / flags.frames * 1000, 2),
+        'governor_level': governed.level,
+        'governor_frames': gov_frames,
         'block_refresh_s': round(block_s, 2),
         'full_refresh_s': round(block_s * baker.n_blocks, 1),
     }))

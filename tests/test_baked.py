@@ -205,6 +205,59 @@ def test_incremental_baker_matches_full_bake(trained):
     assert baker._next_block == 0
 
 
+def test_governed_preview_adapts_budget(trained):
+    """The fps governor steps the splat budget down when measured frame
+    times miss the target, back up when they beat it with headroom, and
+    excludes compile frames from the estimate."""
+    from autolabel_tpu.render.baked import GovernedPreviewRenderer, bake
+
+    field, params, dataset = trained
+    baked = bake(field, params, resolution=96, max_points=2 ** 14)
+
+    # Deterministic fake clock simulating external (tunnel-weather)
+    # frame cost, independent of level: slow weather forces the budget
+    # down, fast weather brings it back up.
+    state = {'t': 0.0, 'cost': 0.05}
+
+    def clock():
+        return state['t']
+
+    renderer = GovernedPreviewRenderer(baked, target_fps=30.0,
+                                       cooldown=2, time_fn=clock)
+    orig_render = renderer._renderer
+
+    class _Timed:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def render(self, K, T, size):
+            out = self.inner.render(K, T, size)
+            state['t'] += state['cost']
+            return out
+
+    renderer._renderer = lambda: _Timed(orig_render())
+
+    K = np.eye(3) * 60
+    K[0, 2], K[1, 2], K[2, 2] = 32, 24, 1
+    T = np.eye(4)
+    T[2, 3] = 2.0
+
+    assert renderer.level == 0
+    for _ in range(16):
+        out = renderer.render(K, T, (64, 48))
+    # 50 ms/frame misses the 33 ms budget at every level -> floored.
+    assert renderer.level == renderer.n_levels - 1
+    # 5 ms/frame beats 33 ms * headroom -> climbs back to full budget.
+    state['cost'] = 0.005
+    for _ in range(40):
+        out = renderer.render(K, T, (64, 48))
+        if renderer.level == 0:
+            break
+    assert renderer.level == 0
+    assert out['image'].shape == (48, 64, 3)
+    assert 'splat_level' in out
+
+
 def test_incremental_baker_cold_start_uses_global_scale(trained):
     """A FRESH baker driven only by update_next_block (the
     benchmarks/preview_fps.py path) must not threshold its first slabs
