@@ -108,19 +108,28 @@ def read_args():
                         help="Write a jax.profiler trace of the first "
                         "training epoch to this directory.")
     parser.add_argument('--pose-refine', action='store_true',
-                        help="EXPERIMENTAL: refine camera poses "
-                        "jointly with the field — per-frame SE(3) "
-                        "deltas join the parameter pytree and get "
-                        "gradients through the renderer with a "
-                        "coarse-to-fine grid schedule "
-                        "(train/pose_refine.py). On few-frame "
-                        "synthetic captures the field co-adapts and "
-                        "poses do NOT improve (measured; NOTES.md); "
-                        "for registering individual frames against a "
-                        "trained scene use "
-                        "pose_refine.register_camera, which is "
-                        "validated.")
-    return parser.parse_args()
+                        help="Removed: joint pose refinement makes "
+                        "poses WORSE on every capture it was measured "
+                        "on (the field co-adapts to pose error faster "
+                        "than poses move; NOTES.md). Use "
+                        "scripts/register.py to localize frames "
+                        "against a trained scene — that surface is "
+                        "validated. This flag now errors.")
+    # Hidden research surface: the joint BARF-style path stays testable
+    # but is not a user-reachable flag that silently degrades results.
+    parser.add_argument('--pose-refine-experimental', action='store_true',
+                        help=argparse.SUPPRESS)
+    flags = parser.parse_args()
+    if flags.pose_refine:
+        parser.error(
+            "--pose-refine was removed: joint refinement reliably makes "
+            "poses worse (measured; NOTES.md). Localize frames with "
+            "scripts/register.py (validated: 5 deg / 10 cm recovers to "
+            "~0.9 deg / 1.6 cm against a trained field), or pass the "
+            "hidden --pose-refine-experimental if you are studying the "
+            "joint path itself.")
+    flags.pose_refine = flags.pose_refine_experimental
+    return flags
 
 
 def _timing_logger():

@@ -43,6 +43,24 @@ def trained_scene(sphere_scene):
     return sphere_scene
 
 
+def test_train_cli_pose_refine_errors_with_pointer(monkeypatch, capsys):
+    """--pose-refine is demoted: it errors and points at register.py
+    (joint refinement reliably degrades poses; NOTES.md). The hidden
+    --pose-refine-experimental keeps the research path parseable."""
+    import importlib
+    module = importlib.import_module('train')
+    monkeypatch.setattr(sys, 'argv',
+                        ['train.py', '/tmp/x', '--pose-refine'])
+    with pytest.raises(SystemExit):
+        module.read_args()
+    assert 'register.py' in capsys.readouterr().err
+    monkeypatch.setattr(sys, 'argv',
+                        ['train.py', '/tmp/x',
+                         '--pose-refine-experimental'])
+    flags = module.read_args()
+    assert flags.pose_refine
+
+
 def test_train_cli_creates_workspace(trained_scene):
     nerf = os.path.join(trained_scene, 'nerf')
     assert os.path.isdir(nerf)
