@@ -19,6 +19,19 @@ from autolabel_tpu.train.losses import LossOptions
 from autolabel_tpu.train.trainer import InteractiveTrainer
 
 
+def _fetch_frame(rgb, depth):
+    """Device->host fetch of a preview frame in compact dtypes (uint8
+    rgb, f16 depth — 5x fewer bytes than f32), restored to the float
+    payload contract on the host. Tunneled TPU links move single-digit
+    MB/s, so the fetch, not the render, dominates preview latency
+    (measured r4: 640x480 volumetric preview RTT 14.8 s mean)."""
+    import jax.numpy as jnp
+    rgb8 = np.asarray(jnp.clip(jnp.round(rgb * 255.0), 0, 255)
+                      .astype(jnp.uint8))
+    d16 = np.asarray(depth.astype(jnp.float16))
+    return (rgb8.astype(np.float32) / 255.0), d16.astype(np.float32)
+
+
 class TrainingLoop:
 
     def __init__(self, scene, flags, connection, dataset_factor=4.0):
@@ -26,6 +39,13 @@ class TrainingLoop:
         self.flags = flags
         model_hash = model_utils.model_hash(flags)
         self.workspace = os.path.join(scene, 'nerf', model_hash)
+        # Pay the device->host transfer handshake NOW, before the user
+        # asks for a preview: on tunneled TPUs the FIRST d2h fetch of a
+        # process costs a large variable setup (measured 10-400 s;
+        # NOTES.md), and the natural first fetch would otherwise be the
+        # first preview the user waits on. Microseconds on a local chip.
+        import jax.numpy as jnp
+        np.asarray(jnp.zeros(()))
         self._load_pca()
         self.train_dataset = SceneDataset('train',
                                           scene,
@@ -162,25 +182,39 @@ class TrainingLoop:
         camera = self.train_dataset.camera
         out = self._governed.render(camera.camera_matrix, T_CW,
                                     camera.size)
+        rgb, depth = _fetch_frame(out['image'], out['depth'])
+        import jax.numpy as jnp
+        semantic = np.asarray(
+            jnp.asarray(out['semantic']).astype(jnp.uint8)).astype(np.int32)
         self.log(f"Sending {image_index} (baked)")
         self.connection.send(('image', {
             'image_index': image_index,
-            'rgb': np.asarray(out['image']),
-            'depth': np.asarray(out['depth']),
-            'semantic': np.asarray(out['semantic']),
+            'rgb': rgb,
+            'depth': depth,
+            'semantic': semantic,
             'features': None,
         }))
 
     def _get_image(self, image_index):
         if self.baked_preview:
             return self._get_baked_image(image_index)
+        import jax.numpy as jnp
+
         data = self.train_dataset._get_test(image_index)
         p_rgb, p_depth, p_semantic, p_features = self.trainer.test_step(data)
-        semantic = p_semantic.argmax(axis=-1)
+        # Class decision on DEVICE: fetching the (H, W, C) float logits
+        # to argmax on the host is C x 4 bytes/pixel over a link that
+        # tunneled devices serve at single-digit MB/s. uint8 carries any
+        # realistic class count at 1/4 the bytes of int32.
+        semantic = np.asarray(jnp.argmax(p_semantic, axis=-1)
+                              .astype(jnp.uint8)).astype(np.int32)
+        rgb, depth = _fetch_frame(p_rgb, p_depth)
 
         if self.pca is not None:
-            H, W, C = p_features.shape
-            features = self.pca.transform(p_features.reshape(H * W, C))
+            feats = np.asarray(p_features.astype(jnp.float16))
+            H, W, C = feats.shape
+            features = self.pca.transform(
+                feats.reshape(H * W, C).astype(np.float32))
             features = np.clip(
                 (features - self.feature_min) / self.feature_range, 0.0, 1.0)
             features = features.reshape(H, W, 3)
@@ -190,9 +224,9 @@ class TrainingLoop:
         self.log(f"Sending {image_index}")
         self.connection.send(('image', {
             'image_index': image_index,
-            'rgb': np.asarray(p_rgb),
-            'depth': np.asarray(p_depth),
-            'semantic': np.asarray(semantic),
+            'rgb': rgb,
+            'depth': depth,
+            'semantic': semantic,
             'features': features,
         }))
 

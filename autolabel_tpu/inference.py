@@ -48,11 +48,13 @@ class InferenceModel:
 
         Returns dict of numpy arrays shaped (H, W, ...). Contract parity:
         torch-ngp render(staged=True) as used in evaluation.py:62-67.
+        The staged renderer keeps chunks on device; this fetches the
+        finished frame ONCE (offline consumers want host arrays).
         """
         lead = np.asarray(batch['rays_o']).shape[:-1]
-        return self._staged.render(
+        return jax.device_get(self._staged.render(
             self.params, batch['rays_o'], batch['rays_d'],
-            np.asarray(batch['direction_norms']).reshape(*lead))
+            np.asarray(batch['direction_norms']).reshape(*lead)))
 
     def density(self, points):
         """Chunked density query: (N, 3) -> dict(sigma (N,), geo_feat)."""

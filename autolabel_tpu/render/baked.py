@@ -224,6 +224,14 @@ def _splat_render(points, rgb, sh, semantic, valid, intrinsics, T_CW,
     return image, depth, classes
 
 
+@jax.jit
+def _slab_write(buf, upd, start):
+    """Write `upd` into device buffer `buf` at row `start` (traced, so
+    one compile per buffer dtype/rank covers every block index)."""
+    idx = (start,) + (jnp.int32(0),) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, upd, idx)
+
+
 class IncrementalBaker:
     """Amortized re-bake: update one slab of the volume at a time.
 
@@ -280,6 +288,13 @@ class IncrementalBaker:
         self._block_decay = 0.9 ** (1.0 / n_blocks)
         self._density_fn = jax.jit(lambda p, x: field.density(p, x)[0])
         self._shade_fn = _make_shade_fn(field, view_dependent)
+        # Device-resident splat cache: scene() must NOT re-upload the
+        # full cache per preview (2^18 splats with SH is ~17 MB; over a
+        # tunneled TPU that async upload lands on whatever runs next —
+        # measured r4: train steps collapsed 205 -> 2.5 steps/s while
+        # serving baked previews). Built on first scene(); update_block
+        # then re-uploads only its own slab.
+        self._dev = None
 
     def _slab_alpha(self, params, block):
         """Density-sweep slab `block`: (grid points (M, 3), alpha (M,))."""
@@ -326,6 +341,22 @@ class IncrementalBaker:
                     self._sh[dst] = np.asarray(lin)
                 self._semantic[dst] = np.asarray(s)
             self._valid[out.start:out.start + n] = True
+        self._commit_block(block)
+
+    def _commit_block(self, block):
+        """Upload one refreshed slab into the device-side cache."""
+        if self._dev is None:
+            return
+        out = slice(block * self.points_per_block,
+                    (block + 1) * self.points_per_block)
+        start = jnp.int32(out.start)
+        for key, host in (('points', self._points), ('rgb', self._rgb),
+                          ('semantic', self._semantic),
+                          ('valid', self._valid), ('sh', self._sh)):
+            if host is None:
+                continue
+            self._dev[key] = _slab_write(self._dev[key],
+                                         jnp.asarray(host[out]), start)
 
     def update_next_block(self, params):
         """Refresh the next slab in rotation; returns the block index."""
@@ -362,48 +393,75 @@ class IncrementalBaker:
             self.update_block(params, block, _precomputed=pre)
 
     def scene(self):
-        return BakedScene(points=jnp.asarray(self._points),
-                          rgb=jnp.asarray(self._rgb),
-                          semantic=jnp.asarray(self._semantic),
-                          valid=jnp.asarray(self._valid),
+        if self._dev is None:
+            self._dev = {
+                'points': jnp.asarray(self._points),
+                'rgb': jnp.asarray(self._rgb),
+                'semantic': jnp.asarray(self._semantic),
+                'valid': jnp.asarray(self._valid),
+                'sh': None if self._sh is None else jnp.asarray(self._sh),
+            }
+        return BakedScene(points=self._dev['points'],
+                          rgb=self._dev['rgb'],
+                          semantic=self._dev['semantic'],
+                          valid=self._dev['valid'],
                           cell_size=self.cell,
-                          sh=(None if self._sh is None
-                              else jnp.asarray(self._sh)))
+                          sh=self._dev['sh'])
 
 
 class GovernedPreviewRenderer:
     """BakedRenderer with an fps governor: adapts the splat budget to
     hold a target frame rate.
 
-    The ≥30 fps 720p preview north star (BASELINE.json) is otherwise
+    The >=30 fps 720p preview north star (BASELINE.json) is otherwise
     weather-dependent — the fixed 2^18 budget measured 42.8 fps one day
     and 24.9 the next under tunnel variance (BASELINE.md r2/r3). The
-    governor holds an EMA of measured frame times and steps between
-    pre-sliced budget LEVELS: level k renders every 2^k-th splat
-    (stride subsampling keeps spatial coverage; hole-filling gets one
-    extra pass per halving). Levels jit once each per frame size;
-    switching costs nothing afterwards. Hysteresis: step down (fewer
-    splats) when the EMA misses target, step up only when it beats
-    target by `headroom` (default 0.45 < 0.5 so the ~2x cost of the
-    richer level still fits the budget — no flapping), and never twice
-    within `cooldown` frames.
+    governor measures THROUGHPUT and steps between pre-sliced budget
+    LEVELS: level k renders every 2^k-th splat (stride subsampling
+    keeps spatial coverage; hole-filling gets one extra pass per
+    halving). Levels jit once each per frame size; switching costs
+    nothing afterwards.
 
-    Compile frames and the first frame after a level switch are
-    excluded from the EMA (they measure XLA, not the steady state).
+    Two measured lessons shape the control law:
+      * Frames must NOT be synced individually — over a tunneled device
+        a per-frame block_until_ready serializes round trips and every
+        level looks equally slow (measured r4: full budget 39 fps
+        pipelined, yet per-frame sync drove the governor to the
+        smallest budget for a 30 fps result). The governor syncs every
+        `sync_every` frames and attributes the batch time evenly, so it
+        sees pipelined throughput like a navigating GUI does.
+      * A down-step must EARN its fidelity cost: after settling at the
+        lower level, if the measured frame time did not improve by
+        `min_gain` over the level above (the latency floor is elsewhere
+        — RTT, dispatch), the governor reverts and locks the down-move
+        out for `lockout` sync batches.
+
+    Step up only when the time beats target * headroom (default 0.45 <
+    0.5, so the ~2x cost of the richer level still fits — no flapping).
+    Compile batches (first use of a level at a size) are excluded.
     """
 
     def __init__(self, baked: BakedScene, target_fps=30.0, n_levels=3,
-                 ema=0.25, headroom=0.45, cooldown=5, time_fn=None):
+                 ema=0.4, headroom=0.45, sync_every=8, min_gain=0.15,
+                 lockout=8, time_fn=None):
         self.target_fps = target_fps
         self.headroom = headroom
-        self.cooldown = cooldown
+        self.sync_every = sync_every
+        self.min_gain = min_gain
+        self.lockout = lockout
         self._ema_w = ema
         self._time = time_fn if time_fn is not None else _perf_counter
         self.n_levels = n_levels
         self.level = 0
         self._ema_s = None
-        self._since_switch = 0
+        self._level_time = {}     # settled per-frame time by level
+        self._down_locked = 0     # sync batches until down-steps allowed
+        self._probing_down = False
+        self._batches_at_level = 0
         self._rendered = set()
+        self._pending = 0
+        self._batch_start = None
+        self._last_out = None
         self.set_scene(baked)
 
     def set_scene(self, baked: BakedScene):
@@ -435,32 +493,66 @@ class GovernedPreviewRenderer:
     def render(self, intrinsics, T_CW, size):
         key = (self.level, tuple(size))
         first = key not in self._rendered
-        start = self._time()
+        if self._batch_start is None:
+            self._batch_start = self._time()
         out = self._renderer().render(intrinsics, T_CW, size)
-        out['depth'].block_until_ready()
-        elapsed = self._time() - start
         self._rendered.add(key)
-        self._since_switch += 1
-        if not first and self._since_switch > 1:
-            self._ema_s = (elapsed if self._ema_s is None else
-                           self._ema_w * elapsed
-                           + (1 - self._ema_w) * self._ema_s)
-            self._govern()
+        self._pending += 1
+        self._last_out = out
+        if self._pending >= self.sync_every or first:
+            out['depth'].block_until_ready()
+            elapsed = self._time() - self._batch_start
+            per_frame = elapsed / self._pending
+            self._pending = 0
+            self._batch_start = None
+            if not first:
+                self._record(per_frame)
         out['splat_level'] = self.level
         return out
 
-    def _govern(self):
-        if self._ema_s is None or self._since_switch <= self.cooldown:
-            return
-        budget = 1.0 / self.target_fps
-        if self._ema_s > budget and self.level < self.n_levels - 1:
-            self.level += 1
-        elif (self._ema_s < budget * self.headroom and self.level > 0):
-            self.level -= 1
-        else:
-            return
-        self._since_switch = 0
+    def flush(self):
+        """Sync any in-flight frames (call before idling so the next
+        batch's timing does not absorb queued work)."""
+        if self._pending and self._last_out is not None:
+            self._last_out['depth'].block_until_ready()
+            elapsed = self._time() - self._batch_start
+            self._record(elapsed / self._pending)
+        self._pending = 0
+        self._batch_start = None
+
+    def _record(self, per_frame):
+        self._ema_s = (per_frame if self._ema_s is None else
+                       self._ema_w * per_frame
+                       + (1 - self._ema_w) * self._ema_s)
+        self._batches_at_level += 1
+        if self._batches_at_level >= 2:
+            self._govern()
+
+    def _switch(self, level, probing_down=False):
+        self._level_time[self.level] = self._ema_s
+        self.level = level
         self._ema_s = None
+        self._batches_at_level = 0
+        self._probing_down = probing_down
+
+    def _govern(self):
+        budget = 1.0 / self.target_fps
+        if self._down_locked > 0:
+            self._down_locked -= 1
+        if self._probing_down:
+            # Did dropping splats actually buy time? If not, the floor
+            # is elsewhere (RTT, dispatch): revert, lock out.
+            above = self._level_time.get(self.level - 1)
+            if above is not None and                     self._ema_s > (1.0 - self.min_gain) * above:
+                self._down_locked = self.lockout
+                self._switch(self.level - 1)
+                return
+            self._probing_down = False
+        if (self._ema_s > budget and self.level < self.n_levels - 1
+                and self._down_locked == 0):
+            self._switch(self.level + 1, probing_down=True)
+        elif (self._ema_s < budget * self.headroom and self.level > 0):
+            self._switch(self.level - 1)
 
     @property
     def fps_estimate(self):

@@ -400,7 +400,17 @@ class StagedRenderer:
 
     def render(self, params, rays_o, rays_d, direction_norms):
         """rays_*: (..., 3) arrays of any leading shape; returns dict of
-        arrays with the same leading shape."""
+        DEVICE arrays with the same leading shape.
+
+        All chunks are dispatched asynchronously and concatenated ON
+        DEVICE — no host fetch happens here. The previous design
+        device_get every 4096-ray chunk, which serialized one
+        host<->device round trip per chunk; over a tunneled TPU (single-
+        digit MB/s, tens-of-ms RTT) a 640x480 frame = 75 chunks paid 75
+        round trips and dominated the preview latency (measured r4:
+        14.8-22.5 s volumetric preview RTT). Callers fetch once — and
+        should downcast first (uint8 rgb, f16 depth: backend._fetch_frame)
+        so the fetch moves 5x fewer bytes."""
         lead_shape = rays_o.shape[:-1]
         o = np.asarray(rays_o, dtype=np.float32).reshape(-1, 3)
         d = np.asarray(rays_d, dtype=np.float32).reshape(-1, 3)
@@ -417,13 +427,14 @@ class StagedRenderer:
         outs = []
         for start in range(0, padded, chunk):
             sl = slice(start, start + chunk)
-            outs.append(
-                jax.device_get(
-                    self._chunk_fn(params, o[sl], d[sl], dn[sl])))
-        merged = {
-            k: np.concatenate([chunk_out[k] for chunk_out in outs])[:n]
-            for k in outs[0]
-        }
+            outs.append(self._chunk_fn(params, o[sl], d[sl], dn[sl]))
+        if len(outs) == 1:
+            merged = {k: outs[0][k][:n] for k in outs[0]}
+        else:
+            merged = {
+                k: jnp.concatenate([chunk_out[k] for chunk_out in outs])[:n]
+                for k in outs[0]
+            }
         return {
             k: v.reshape(*lead_shape, *v.shape[1:])
             for k, v in merged.items()

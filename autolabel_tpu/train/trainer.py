@@ -418,11 +418,23 @@ class InteractiveTrainer(SimpleTrainer):
 
     EMA_EVERY = 100
 
+    # How many dispatched-but-unfinished steps may be in flight. JAX
+    # dispatch is asynchronous: the message pump can ENQUEUE steps far
+    # faster than the device executes them (the reference's sync torch
+    # step was self-pacing), and every preview request then stalls for
+    # the whole backlog — measured r4: preview round trips grew 22 s ->
+    # 75 s across a session as the queue ran away. A small window keeps
+    # host/device pipelining (no per-step sync) while bounding preview
+    # latency at ~window x step time.
+    MAX_INFLIGHT = 8
+
     def __init__(self, *args, **kwargs):
         kwargs.setdefault('iters', None)  # ConstantLR (backend.py:55-56)
         super().__init__(*args, **kwargs)
         self.iterator = None
         self.step = 0
+        import collections
+        self._inflight = collections.deque()
 
     def init(self, dataloader):
         self.iterator = iter(dataloader)
@@ -440,6 +452,9 @@ class InteractiveTrainer(SimpleTrainer):
         self.step += 1
         if self.step % self.EMA_EVERY == 0:
             self.state = self._ema_step(self.state, self.ema_decay)
+        self._inflight.append(losses)
+        while len(self._inflight) > self.MAX_INFLIGHT:
+            jax.block_until_ready(self._inflight.popleft())
         return losses
 
     def dataset_updated(self, loader):

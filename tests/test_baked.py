@@ -205,25 +205,18 @@ def test_incremental_baker_matches_full_bake(trained):
     assert baker._next_block == 0
 
 
-def test_governed_preview_adapts_budget(trained):
-    """The fps governor steps the splat budget down when measured frame
-    times miss the target, back up when they beat it with headroom, and
-    excludes compile frames from the estimate."""
-    from autolabel_tpu.render.baked import GovernedPreviewRenderer, bake
+def _governed_with_fake_clock(baked, costs):
+    """GovernedPreviewRenderer whose frame times come from a fake clock
+    advancing `costs[level]` per rendered frame."""
+    from autolabel_tpu.render.baked import GovernedPreviewRenderer
 
-    field, params, dataset = trained
-    baked = bake(field, params, resolution=96, max_points=2 ** 14)
-
-    # Deterministic fake clock simulating external (tunnel-weather)
-    # frame cost, independent of level: slow weather forces the budget
-    # down, fast weather brings it back up.
-    state = {'t': 0.0, 'cost': 0.05}
+    state = {'t': 0.0}
 
     def clock():
         return state['t']
 
     renderer = GovernedPreviewRenderer(baked, target_fps=30.0,
-                                       cooldown=2, time_fn=clock)
+                                       sync_every=2, time_fn=clock)
     orig_render = renderer._renderer
 
     class _Timed:
@@ -232,30 +225,72 @@ def test_governed_preview_adapts_budget(trained):
 
         def render(self, K, T, size):
             out = self.inner.render(K, T, size)
-            state['t'] += state['cost']
+            state['t'] += costs[renderer.level]
             return out
 
     renderer._renderer = lambda: _Timed(orig_render())
+    return renderer, costs
 
-    K = np.eye(3) * 60
-    K[0, 2], K[1, 2], K[2, 2] = 32, 24, 1
-    T = np.eye(4)
-    T[2, 3] = 2.0
+
+_CAM_K = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+_CAM_T = np.eye(4)
+_CAM_T[2, 3] = 2.0
+
+
+def test_governed_preview_steps_down_when_profitable(trained):
+    """Splat-bound frames: missing the 30 fps budget at the full level
+    steps down to a level that holds it; when frame times later beat
+    target * headroom the governor climbs back to full fidelity."""
+    from autolabel_tpu.render.baked import bake
+
+    field, params, dataset = trained
+    baked = bake(field, params, resolution=96, max_points=2 ** 14)
+    costs = {0: 0.05, 1: 0.028, 2: 0.02}  # halving splats genuinely pays
+    renderer, costs = _governed_with_fake_clock(baked, costs)
 
     assert renderer.level == 0
-    for _ in range(16):
-        out = renderer.render(K, T, (64, 48))
-    # 50 ms/frame misses the 33 ms budget at every level -> floored.
-    assert renderer.level == renderer.n_levels - 1
-    # 5 ms/frame beats 33 ms * headroom -> climbs back to full budget.
-    state['cost'] = 0.005
-    for _ in range(40):
-        out = renderer.render(K, T, (64, 48))
+    for _ in range(12):
+        out = renderer.render(_CAM_K, _CAM_T, (64, 48))
+    # 50 ms misses the 33 ms budget; 28 ms at level 1 holds it and the
+    # profit check confirms the down-step earned its fidelity cost.
+    assert renderer.level == 1
+    # Weather improves: frame times beat 33 ms * 0.45 -> back to full.
+    costs.update({0: 0.01, 1: 0.0056, 2: 0.004})
+    for _ in range(24):
+        out = renderer.render(_CAM_K, _CAM_T, (64, 48))
         if renderer.level == 0:
             break
     assert renderer.level == 0
     assert out['image'].shape == (48, 64, 3)
     assert 'splat_level' in out
+
+
+def test_governed_preview_reverts_unprofitable_downstep(trained):
+    """Latency-bound frames (tunnel RTT): dropping splats buys nothing,
+    so the governor reverts to full fidelity and locks the down-move
+    out instead of pinning the preview at minimum quality (measured r4:
+    per-frame-synced control floored the budget while the full budget
+    pipelined at 39 fps)."""
+    from autolabel_tpu.render.baked import bake
+
+    field, params, dataset = trained
+    baked = bake(field, params, resolution=96, max_points=2 ** 14)
+    costs = {0: 0.05, 1: 0.05, 2: 0.05}  # the floor is elsewhere
+    renderer, costs = _governed_with_fake_clock(baked, costs)
+
+    levels_seen = set()
+    occupancy = []
+    for i in range(60):
+        renderer.render(_CAM_K, _CAM_T, (64, 48))
+        levels_seen.add(renderer.level)
+        occupancy.append(renderer.level)
+        if i >= 39 and renderer.level == 0:
+            break
+    # Probed down at least once, measured no gain, and spends the vast
+    # majority of frames at full fidelity instead of pinning low.
+    assert 1 in levels_seen
+    assert renderer.level == 0
+    assert np.mean(np.asarray(occupancy) == 0) > 0.6
 
 
 def test_incremental_baker_cold_start_uses_global_scale(trained):
