@@ -50,9 +50,15 @@ def compute_losses(outputs, batch, options: LossOptions):
              options.depth_weight * losses['depth'])
 
     if options.feature_loss:
+        # Distill on the SHARED leading channels: the reference slices
+        # the teacher features down to the head's width when the head is
+        # narrower (trainer.py:82-86); the converse slice keeps a wide
+        # head trainable against a narrow teacher.
         gt_features = batch['features']
-        pred = outputs['semantic_features'][:, :gt_features.shape[-1]]
-        losses['feature'] = jnp.mean(jnp.abs(pred - gt_features))
+        pred = outputs['semantic_features']
+        dim = min(pred.shape[-1], gt_features.shape[-1])
+        losses['feature'] = jnp.mean(
+            jnp.abs(pred[:, :dim] - gt_features[:, :dim]))
         total = total + options.feature_weight * losses['feature']
 
     if 'interlevel' in outputs:
