@@ -97,6 +97,7 @@ class SimpleTrainer:
                  exact_final_fraction=0.1,
                  sampled_warmup_fraction=0.0,
                  metrics=True,
+                 tensorboard=False,
                  pose_refine=None,
                  seed=0):
         self.name = name
@@ -112,6 +113,15 @@ class SimpleTrainer:
         self.global_step = 0
         self.metrics_logger = (MetricsLogger(workspace)
                                if metrics and workspace is not None else None)
+        # Opt-in TensorBoard events at <workspace>/run/<name> (the
+        # reference's SummaryWriter path, autolabel/trainer.py:17-19);
+        # written epoch-aligned with metrics.jsonl, no tensorboardX dep
+        # (train/tb_events.py).
+        self.tb_writer = None
+        if tensorboard and workspace is not None:
+            from autolabel_tpu.train.tb_events import TBEventWriter
+            self.tb_writer = TBEventWriter(
+                os.path.join(workspace, 'run', name))
 
         params = field.init(jax.random.PRNGKey(seed))
         # Joint camera refinement: pose_refine = (R0 (N,3,3) cam->world,
@@ -337,10 +347,18 @@ class SimpleTrainer:
         for epoch in range(epochs):
             losses = self.train_iterations(dataloader, iters_per_epoch)
             self.epoch += 1
-            if self.metrics_logger is not None and losses is not None:
+            if losses is not None and (self.metrics_logger is not None
+                                       or self.tb_writer is not None):
                 # One tiny device->host fetch per epoch, at the epoch
                 # boundary — the inner loop stays fetch-free.
-                self.metrics_logger.log(self.epoch, self.global_step, losses)
+                fetched = {k: float(v) for k, v in losses.items()}
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(self.epoch, self.global_step,
+                                            fetched)
+                if self.tb_writer is not None:
+                    self.tb_writer.add_scalars(
+                        self.global_step,
+                        {f'train/{k}': v for k, v in fetched.items()})
             if (checkpoint_interval is not None
                     and (epoch + 1) % checkpoint_interval == 0
                     and epoch + 1 < epochs):

@@ -211,9 +211,12 @@ class TrainingLoop:
             'rays_d': directions.reshape(resolution[1], resolution[0], 3),
             'direction_norms': norms,
         }
-        outputs = self.trainer._staged.render(
+        import jax
+        # The staged renderer returns device arrays (chunks concatenate
+        # on device); fetch the finished frame once for cv_bridge.
+        outputs = jax.device_get(self.trainer._staged.render(
             self.trainer.state['params'], batch['rays_o'], batch['rays_d'],
-            norms.reshape(resolution[1], resolution[0]))
+            norms.reshape(resolution[1], resolution[0])))
         image = (np.clip(outputs['image'], 0, 1) * 255).astype(np.uint8)
         self.image_pub.publish(self.bridge.image_to_message(image))
         self.feature_pub.publish(

@@ -96,7 +96,8 @@ class UserSimulation:
     def _infer_semantics(self, frame_index):
         batch = self.dataset._get_test(frame_index)
         _, _, p_semantic, _ = self.trainer.test_step(batch)
-        return p_semantic.argmax(axis=-1)
+        # test_step returns device arrays; one host fetch of the argmax.
+        return np.asarray(p_semantic.argmax(axis=-1))
 
     def _annotate_pixel(self, frame_index, yx, gt_semantic):
         # Counteract the -1 shift applied by _load_semantic.
@@ -118,7 +119,8 @@ class UserSimulation:
         for i, index in enumerate(indices):
             batch = self.dataset._get_test(int(index))
             p_rgb, _, p_sem, _ = self.trainer.test_step(batch)
-            p_semantic = p_sem.argmax(axis=-1)
+            p_rgb = np.asarray(p_rgb)
+            p_semantic = np.asarray(p_sem.argmax(axis=-1))
             gt_semantic = self._load_semantic(self.semantic_paths[index])
             gt_semantic[gt_semantic < 0] = 0
             rgb = (batch['pixels'] * 255).astype(np.uint8)

@@ -104,6 +104,11 @@ def read_args():
                         help="Skip the per-epoch metrics.jsonl scalars "
                         "(avoids the one device fetch per epoch, which "
                         "tunneled-TPU relays punish).")
+    parser.add_argument('--tensorboard', action='store_true',
+                        help="Also write TensorBoard event files to "
+                        "<workspace>/run/ngp (the reference's "
+                        "tensorboardX path) — scalars per epoch, no "
+                        "tensorboardX dependency (train/tb_events.py).")
     parser.add_argument('--profile', type=str, default=None,
                         help="Write a jax.profiler trace of the first "
                         "training epoch to this directory.")
@@ -226,6 +231,7 @@ def main():
                             sampled_warmup_fraction=(
                                 flags.sampled_warmup_fraction),
                             metrics=not flags.no_metrics,
+                            tensorboard=flags.tensorboard,
                             pose_refine=pose_refine)
     mark('trainer init')
 

@@ -33,3 +33,50 @@ def test_trainer_writes_metrics(tmp_path, sphere_scene):
     records = read_metrics(model_dir)
     assert len(records) == 1  # 40 iters = one (short) epoch
     assert records[0]['total'] > 0 and records[0]['step'] == 40
+
+
+def test_tb_events_roundtrip(tmp_path):
+    """tfevents writer round-trips through its CRC-checked reader and
+    uses the real Castagnoli polynomial (known vector)."""
+    from autolabel_tpu.train.tb_events import (TBEventWriter, crc32c,
+                                               read_events)
+
+    assert crc32c(b'123456789') == 0xE3069283  # standard check value
+
+    writer = TBEventWriter(str(tmp_path / 'run'))
+    writer.add_scalars(1000, {'train/total': 0.5, 'train/rgb': 0.25})
+    writer.add_scalars(2000, {'train/total': 0.375})
+    writer.close()
+
+    events = read_events(writer.path)
+    assert [step for step, _ in events] == [1000, 2000]
+    assert events[0][1]['train/total'] == pytest.approx(0.5)
+    assert events[0][1]['train/rgb'] == pytest.approx(0.25)
+    assert events[1][1] == {'train/total': pytest.approx(0.375)}
+
+
+@pytest.mark.slow
+def test_trainer_writes_tensorboard(tmp_path, sphere_scene):
+    """--tensorboard writes a readable event file at the reference's
+    <workspace>/run/<name> path (autolabel/trainer.py:17-19)."""
+    import glob
+    import os
+    import sys
+
+    from autolabel_tpu.train.tb_events import read_events
+
+    sys.argv = ['train.py', sphere_scene, '--iters', '40',
+                '--batch-size', '512', '--factor-train', '4',
+                '--num-steps', '16', '--tensorboard',
+                '--workspace', str(tmp_path / 'ws')]
+    sys.path.insert(0, 'scripts')
+    import importlib
+    train = importlib.import_module('train')
+    train.main()
+    model_dir = glob.glob(str(tmp_path / 'ws' / '*' / '*'))[0]
+    event_files = glob.glob(os.path.join(model_dir, 'run', 'ngp',
+                                         'events.out.tfevents.*'))
+    assert len(event_files) == 1
+    events = read_events(event_files[0])
+    assert len(events) == 1 and events[0][0] == 40
+    assert 'train/total' in events[0][1]
