@@ -24,7 +24,11 @@ class InferenceModel:
                  upsample_steps=0,
                  max_ray_batch=4096):
         self.field = field
-        self.params = params
+        # Checkpoints load as host numpy pytrees; passing those to jitted
+        # functions re-uploads every parameter on EVERY call (measured:
+        # ~19 s/50k-point chunk over the tunnel vs sub-second once
+        # device-resident). Pin them to the device once.
+        self.params = jax.device_put(params)
         self._staged = StagedRenderer(field,
                                       RenderOptions(num_steps=num_steps,
                                                     upsample_steps=upsample_steps,
@@ -32,6 +36,7 @@ class InferenceModel:
                                       max_ray_batch=max_ray_batch)
         self._density = jax.jit(field.density)
         self._semantic = jax.jit(field.semantic)
+        self._jittered = None
         self._chunk = 50000
 
     @classmethod
@@ -69,6 +74,60 @@ class InferenceModel:
             'sigma': np.concatenate(sigmas),
             'geo_feat': np.concatenate(geos),
         }
+
+    def jittered_semantic_features(self, points, n_samples=10, sigma=0.02,
+                                   seed=0):
+        """Jitter-averaged, L2-normalized semantic features at 3D points.
+
+        The reference's 3D open-vocab evaluator averages the feature
+        head over 10 gaussian-jittered queries per point
+        (evaluation.py:420-428; the first sample enters with weight 1
+        and the remaining N-1 with weight 1/N — quirk preserved). Its
+        torch loop pays 2 host round trips per jitter sample; here the
+        whole average runs inside ONE jit and each chunk is fetched
+        once — on a tunneled TPU that is the difference between
+        fetch-bound and compute-bound throughput.
+        """
+        if self._jittered is None:
+            field = self.field
+
+            def query(params, pts):
+                _, geo = field.density(params, pts)
+                _, f = field.semantic(params, geo)
+                return f.astype(jnp.float32)
+
+            def averaged(params, pts, key, n_samples, sigma):
+                feats = query(params, pts)
+                scale = 1.0 / n_samples
+
+                def body(i, acc):
+                    noise = sigma * jax.random.normal(
+                        jax.random.fold_in(key, i), pts.shape,
+                        dtype=jnp.float32)
+                    return acc + query(params, pts + noise) * scale
+
+                feats = jax.lax.fori_loop(0, n_samples - 1, body, feats)
+                norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+                return feats / jnp.maximum(norm, 1e-9)
+
+            self._jittered = jax.jit(averaged, static_argnums=(3, 4))
+        points = np.asarray(points, dtype=np.float32)
+        key = jax.random.PRNGKey(seed)
+        out = []
+        for start in range(0, len(points), self._chunk):
+            chunk = points[start:start + self._chunk]
+            n = len(chunk)
+            # Pad partial chunks up to a power-of-two bucket so repeated
+            # calls with ragged tails reuse one compiled program.
+            padded = min(self._chunk, 1 << max(n - 1, 1).bit_length())
+            if n < padded:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((padded - n, 3), np.float32)])
+            feats = self._jittered(self.params, chunk,
+                                   jax.random.fold_in(key, start),
+                                   int(n_samples), float(sigma))
+            out.append(np.asarray(feats)[:n])
+        return np.concatenate(out)
 
     def semantic(self, geo_feat):
         """Chunked semantic head query: (N, G) -> (logits, features)."""

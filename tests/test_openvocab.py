@@ -114,6 +114,28 @@ def test_openvocab_3d(openvocab_scene, trained_model):
     assert 'sphere' in iou
 
 
+def test_jittered_semantic_features_fused(trained_model):
+    """The fused on-device jitter average: at sigma=0 the jitter is a
+    no-op, so the result must equal the L2-normalized exact feature
+    query; ragged point counts exercise the power-of-two chunk padding."""
+    points = np.random.default_rng(3).uniform(
+        -0.5, 0.5, size=(37, 3)).astype(np.float32)
+    fused = trained_model.jittered_semantic_features(points, n_samples=10,
+                                                     sigma=0.0)
+    density = trained_model.density(points)
+    _, exact = trained_model.semantic(density['geo_feat'])
+    exact = exact.astype(np.float32)
+    exact /= np.maximum(np.linalg.norm(exact, axis=-1, keepdims=True), 1e-9)
+    assert fused.shape == exact.shape
+    np.testing.assert_allclose(fused, exact, atol=5e-5)
+    assert np.allclose(np.linalg.norm(fused, axis=-1), 1.0, atol=1e-4)
+    # Nonzero jitter still yields unit-norm features of the same shape.
+    noisy = trained_model.jittered_semantic_features(points, n_samples=4,
+                                                     sigma=0.02)
+    assert noisy.shape == exact.shape
+    assert np.allclose(np.linalg.norm(noisy, axis=-1), 1.0, atol=1e-4)
+
+
 def test_openvocab_evaluated_subset(openvocab_scene, trained_model):
     dataset = SceneDataset('test', openvocab_scene, factor=1.0,
                            batch_size=512)
