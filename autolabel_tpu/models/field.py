@@ -134,7 +134,7 @@ class Field:
 
     def _grid_encode(self, table, normalized, key=None, n_samples=1,
                      exact_levels=0, residual=False, sampled_backward=0,
-                     level_window=None):
+                     level_window=None, backward_points=1.0):
         c = self.config
         if (c.grid_impl == 'pallas' and key is None
                 and c.grid_interp == 'trilinear'):
@@ -147,7 +147,8 @@ class Field:
                                   exact_levels=exact_levels,
                                   interp=c.grid_interp,
                                   residual=residual,
-                                  sampled_backward=sampled_backward)
+                                  sampled_backward=sampled_backward,
+                                  backward_points=backward_points)
         if level_window is not None:
             # BARF-style coarse-to-fine window (renderer.RenderOptions
             # .level_window): scale each level's feature block; a zero
@@ -159,7 +160,7 @@ class Field:
 
     def encode(self, params: Params, x, key=None, n_samples=1,
                exact_levels=0, residual=False, sampled_backward=0,
-               level_window=None):
+               level_window=None, backward_points=1.0):
         """Positional encoding of (N, 3) points in [-bound, bound].
 
         key: optional PRNG key for stochastic-corner hash-grid gathers
@@ -174,14 +175,16 @@ class Field:
         if c.encoding == 'hg':
             return self._grid_encode(params['encoder']['grid'], normalized,
                                      key, n_samples, exact_levels, residual,
-                                     sampled_backward, level_window)
+                                     sampled_backward, level_window,
+                                     backward_points)
         if c.encoding == 'hg+freq':
             # Frequency part runs on the raw coordinates, grid on the
             # normalized ones (parity: autolabel/models.py:51-59).
             freq = frequency_encode(x, 2)
             grid = self._grid_encode(params['encoder']['grid'], normalized,
                                      key, n_samples, exact_levels, residual,
-                                     sampled_backward, level_window)
+                                     sampled_backward, level_window,
+                                     backward_points)
             return jnp.concatenate([freq, grid], axis=-1)
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
@@ -189,7 +192,7 @@ class Field:
 
     def _encode_segments(self, params: Params, x, key=None, n_samples=1,
                          exact_levels=0, residual=False, sampled_backward=0,
-                         level_window=None):
+                         level_window=None, backward_points=1.0):
         """Positional encoding as a LIST of segments (same values and
         column order as encode(), but never concatenated — mlp_apply
         consumes segments as split matmuls, skipping the padded
@@ -202,26 +205,29 @@ class Field:
         if c.encoding == 'hg':
             return [self._grid_encode(params['encoder']['grid'], normalized,
                                       key, n_samples, exact_levels, residual,
-                                      sampled_backward, level_window)]
+                                      sampled_backward, level_window,
+                                      backward_points)]
         if c.encoding == 'hg+freq':
             return [
                 frequency_encode(x, 2),
                 self._grid_encode(params['encoder']['grid'], normalized,
                                   key, n_samples, exact_levels, residual,
-                                  sampled_backward, level_window)
+                                  sampled_backward, level_window,
+                                  backward_points)
             ]
         raise NotImplementedError(f"Unknown input encoding {c.encoding}")
 
     def density(self, params: Params, x, key=None, n_samples=1,
                 exact_levels=0, residual=False, sampled_backward=0,
-                level_window=None):
+                level_window=None, backward_points=1.0):
         """(N, 3) points -> (sigma (N,), geo_feat (N, G))."""
         h = mlp_apply(params['sigma_net'],
                       self._encode_segments(
                           params, x, key=key, n_samples=n_samples,
                           exact_levels=exact_levels, residual=residual,
                           sampled_backward=sampled_backward,
-                          level_window=level_window))
+                          level_window=level_window,
+                          backward_points=backward_points))
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
 
@@ -238,7 +244,7 @@ class Field:
 
     def all_heads(self, params: Params, x, d, key=None, n_samples=1,
                   exact_levels=0, residual=False, sampled_backward=0,
-                  level_window=None):
+                  level_window=None, backward_points=1.0):
         """Every head in one fused kernel: (N, 3) points + (N, 3) view
         dirs -> (sigma (N,), rgb (N, 3), logits (N, C), features (N, S)).
 
@@ -252,7 +258,8 @@ class Field:
         normalized = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
         A = self._grid_encode(params['encoder']['grid'], normalized, key,
                               n_samples, exact_levels, residual,
-                              sampled_backward, level_window)
+                              sampled_backward, level_window,
+                              backward_points)
         freq_dim = 12 if c.encoding == 'hg+freq' else 0
         B = jnp.zeros((x.shape[0], 128), jnp.float32)
         if freq_dim:

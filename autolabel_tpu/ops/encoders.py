@@ -251,9 +251,11 @@ def _grid_geometry(x, config):
 
 @functools.partial(jax.jit,
                    static_argnames=('config', 'n_samples', 'exact_levels',
-                                    'interp', 'residual', 'sampled_backward'))
+                                    'interp', 'residual', 'sampled_backward',
+                                    'backward_points'))
 def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
-                    interp='trilinear', residual=False, sampled_backward=0):
+                    interp='trilinear', residual=False, sampled_backward=0,
+                    backward_points=1.0):
     """Encode (N, 3) points in [0, 1] -> (N, n_levels * n_features).
 
     Two formulations, chosen by feature width (both exact):
@@ -320,6 +322,21 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
     the exact field — and the gradient estimator is unbiased with
     variance far below forward sampling at the same row budget. When
     set, n_samples/residual are ignored (they shape the forward).
+
+    backward_points (0 < fraction <= 1, sampled_backward mode only):
+    magnitude-weighted POINT subsampling of the backward scatter. The
+    scatter-row budget above is per (point, level); this cuts the
+    point axis too: the custom VJP draws K = ceil(fraction * N) points
+    by SYSTEMATIC RESAMPLING from p_i ∝ ||g_i|| (the point's
+    encode-output cotangent norm across all levels) and scatters each
+    selected point's cotangent scaled by counts_i / (K * p_i), so
+    E[table gradient] stays exactly the full estimator's mean.
+    Volume-rendering cotangents are concentrated (samples in empty or
+    occluded space get ~zero gradient), so most of the scattered rows
+    of the full estimator carry ~no mass; the selection spends the row
+    budget where the gradient actually is. Total backward scatter rows
+    drop from N * sum(rows_l) to K * sum(rows_l) — at the measured
+    15-17 ns/row scatter floor this is a direct step-time cut.
     """
     if sampled_backward and key is not None:
         if config.n_features % 8 != 0:
@@ -346,8 +363,15 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
                 f"(residual pair), or {n_atoms} (exact scatter for this "
                 "interpolation), or a per-level tuple of those with one "
                 f"entry per grid level; got {sampled_backward!r}")
-        u = jax.random.uniform(key, (config.n_levels, x.shape[0]))
-        return _encode_sampled_bwd(config, interp, rows, table, x, u)
+        pf = float(backward_points)
+        if not 0.0 < pf <= 1.0:
+            raise ValueError(
+                f"backward_points must be in (0, 1]; got {backward_points!r}")
+        # One extra uniform column feeds the systematic-resampling offset
+        # of the point subsample (u[0, N]); corner draws use u[:, :N].
+        n_extra = 1 if pf < 1.0 else 0
+        u = jax.random.uniform(key, (config.n_levels, x.shape[0] + n_extra))
+        return _encode_sampled_bwd(config, interp, rows, pf, table, x, u)
     if residual and key is not None:
         if n_samples != 2:
             raise NotImplementedError(
@@ -582,8 +606,8 @@ def _atoms(interp, frac_l):
     return offset_fn, weights
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _encode_sampled_bwd(config, interp, bwd_rows, table, x, u):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _encode_sampled_bwd(config, interp, bwd_rows, point_frac, table, x, u):
     """Exact-forward / sampled-backward hash-grid encode (wide rows).
 
     Forward: the exact interpolation (trilinear or simplex). Backward:
@@ -595,22 +619,59 @@ def _encode_sampled_bwd(config, interp, bwd_rows, table, x, u):
     (z-placement is stop-gradded, renderer.py), so dropping dOut/dx
     loses nothing.
     """
-    del u, bwd_rows
+    del u, bwd_rows, point_frac
     if interp == 'simplex':
         return _encode_rows_simplex(table, x, config)
     return _encode_rows(table, x, config)
 
 
-def _encode_sampled_bwd_fwd(config, interp, bwd_rows, table, x, u):
-    out = _encode_sampled_bwd(config, interp, bwd_rows, table, x, u)
+def _encode_sampled_bwd_fwd(config, interp, bwd_rows, point_frac, table, x,
+                            u):
+    out = _encode_sampled_bwd(config, interp, bwd_rows, point_frac, table, x,
+                              u)
     return out, (x, u)
 
 
-def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
+def _select_backward_points(g, u_sys, k):
+    """Systematic resample of k points from p_i ∝ ||g_i|| (cotangent row
+    norms). Returns (sel (k,), coef (k,)) with E[sum_sel coef_j * g_sel]
+    == sum_i g_i: counts_i = #{grid positions in (cum_{i-1}, cum_i]} has
+    E[counts_i] = k * p_i exactly, and coef = counts / (k * p). Points
+    with zero cotangent are never drawn (their true gradient is zero).
+    top_k compacts the <= k nonzero counts into a static-shape index
+    set; padding rows carry coef 0 and scatter nothing."""
+    n = g.shape[0]
+    g32 = g.astype(jnp.float32)
+    s = jnp.sqrt(jnp.sum(g32 * g32, axis=-1))  # (N,)
+    tot = jnp.sum(s)
+    p = jnp.where(tot > 0, s / jnp.maximum(tot, 1e-30),
+                  jnp.full_like(s, 1.0 / n))
+    cum = jnp.cumsum(p)
+    cum = cum / cum[-1]  # exact 1.0 tail => total counts == k
+    c = jnp.floor(k * cum - u_sys)
+    counts = jnp.diff(c, prepend=jnp.asarray(-1.0, c.dtype))
+    counts_k, sel = jax.lax.top_k(counts, k)
+    coef = counts_k / (k * jnp.maximum(p[sel], 1e-30))
+    return sel, coef
+
+
+def _encode_sampled_bwd_bwd(config, interp, bwd_rows, point_frac, res, g):
     x, u = res
     cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     f = config.n_features
+    n = x.shape[0]
     cot = jnp.zeros((config.n_levels, config.table_size, f), g.dtype)
+
+    uc = u[:, :n]
+    g_sc = g
+    if point_frac < 1.0:
+        k = max(1, int(round(point_frac * n)))
+        sel, coef = _select_backward_points(g, u[0, n], k)
+        g_sc = jnp.take(g, sel, axis=0) * coef[:, None].astype(g.dtype)
+        cell = jnp.take(cell, sel, axis=2)
+        frac = jnp.take(frac, sel, axis=2)
+        uc = jnp.take(uc, sel, axis=1)
+        n = k
 
     def scatter(cot, l, off, coef, g_l):
         idx = _corner_index(cell[:, l], (off[0], off[1], off[2]), stride[l],
@@ -618,7 +679,7 @@ def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
         return cot.at[l, idx].add(coef[:, None].astype(g_l.dtype) * g_l)
 
     for l in range(config.n_levels):
-        g_l = g[:, l * f:(l + 1) * f]
+        g_l = g_sc[:, l * f:(l + 1) * f]
         offset_fn, weights = _atoms(interp, frac[:, l])
         if bwd_rows[l] >= weights.shape[0]:
             # Exact scatter: every atom at its exact weight (the true
@@ -626,7 +687,7 @@ def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
             # levels whose few distinct rows make the scatter cheap and
             # whose gradients decide the table's global layout.
             for ci in range(weights.shape[0]):
-                cot = scatter(cot, l, offset_fn(jnp.full((x.shape[0],), ci,
+                cot = scatter(cot, l, offset_fn(jnp.full((n,), ci,
                                                          jnp.int32)),
                               weights[ci], g_l)
         elif bwd_rows[l] == 2:
@@ -639,13 +700,13 @@ def _encode_sampled_bwd_bwd(config, interp, bwd_rows, res, g):
                 weights)
             cum = jnp.cumsum(wr, axis=0) / jnp.maximum(
                 wr.sum(axis=0), 1e-12)
-            j = (u[l][None] > cum[:-1]).sum(axis=0)
+            j = (uc[l][None] > cum[:-1]).sum(axis=0)
             cot = scatter(cot, l, offset_fn(j), 1.0 - w_m, g_l)
         else:
             # One importance draw J ~ w: scattered mass w_J / p_J = 1.
             cum = jnp.cumsum(weights[:-1], axis=0)
-            j = (u[l][None] > cum).sum(axis=0)
-            cot = scatter(cot, l, offset_fn(j), jnp.ones(x.shape[0]), g_l)
+            j = (uc[l][None] > cum).sum(axis=0)
+            cot = scatter(cot, l, offset_fn(j), jnp.ones(n), g_l)
     return cot, jnp.zeros_like(x), jnp.zeros_like(u)
 
 

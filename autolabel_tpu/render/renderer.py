@@ -56,6 +56,12 @@ class RenderOptions:
     # forward noise (ops/encoders.hashgrid_encode sampled_backward).
     # Takes precedence over stochastic_corners when set.
     sampled_backward: int = 0
+    # Magnitude-weighted POINT subsample of the sampled backward scatter
+    # (fraction in (0, 1]; 1.0 = every point scatters). Cuts backward
+    # scatter rows — the measured step bottleneck — by drawing
+    # ceil(fraction * N) points ∝ cotangent norm with inverse-probability
+    # weighting (unbiased; ops/encoders.hashgrid_encode backward_points).
+    backward_points: float = 1.0
     # With an occupancy grid, probe it along each ray and shrink
     # [near, far] to the occupied span before sampling — the TPU-shaped
     # version of torch-ngp's empty-space skipping (samples concentrate
@@ -253,7 +259,8 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
                                    stochastic_exact_levels,
                                    residual=options.stochastic_residual,
                                    sampled_backward=options.sampled_backward,
-                                   level_window=options.level_window)
+                                   level_window=options.level_window,
+                                   backward_points=options.backward_points)
         sigma = _mask_sigma(flat, sigma)
         s = z_vals.shape[1]
         return (xyz, sigma.reshape(n_rays, s),
@@ -289,7 +296,8 @@ def render_rays(field, params, rays_o, rays_d, direction_norms,
             exact_levels=options.stochastic_exact_levels,
             residual=options.stochastic_residual,
             sampled_backward=options.sampled_backward,
-            level_window=options.level_window)
+            level_window=options.level_window,
+            backward_points=options.backward_points)
         sigma = _mask_sigma(flat, sigma_f).reshape(n_rays, num_steps)
         fused_outputs = (rgb_f, logits_f, feats_f)
     else:

@@ -181,7 +181,8 @@ class SimpleTrainer:
             phase_options.append(
                 dataclasses.replace(self.render_options,
                                     stochastic_corners=0,
-                                    sampled_backward=0))
+                                    sampled_backward=0,
+                                    backward_points=1.0))
         if (self._pose_init is not None and iters is not None
                 and field.config.grid_config is not None):
             # BARF-style coarse-to-fine for joint pose refinement: the

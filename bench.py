@@ -10,16 +10,23 @@ hash gathers: the forward interpolates EXACTLY (zero forward noise) while
 each (point, level) gradient scatters into 2 sampled corner rows — an
 unbiased Rao-Blackwellized estimator of the table gradient that attacks
 the step's measured cost center, the backward scatter (see
-autolabel_tpu/ops/encoders.py and benchmarks/scatter_lab.py).
+autolabel_tpu/ops/encoders.py and benchmarks/scatter_lab.py) — plus
+magnitude-weighted POINT subsampling of that scatter (backward_points =
+0.25): each step, 25% of the sample points are drawn by systematic
+resampling proportional to their cotangent norm and scatter with
+inverse-probability weights, which is unbiased and nearly noise-free
+because volume-rendering gradients concentrate on surface samples (the
+measured top-25% of points carry ~100% of the gradient mass; BASELINE.md
+round 4). This cuts backward scatter rows 4x below the round-3 flagship.
 
 The flagship training schedule anneals: the first 90% of iterations run
 the sampled-backward step, the final 10% run fully exact gathers (the
 trainer's exact_final_fraction). The reported value is the
 schedule-weighted EFFECTIVE rays/s — what a full default 10k-iteration
 run actually sustains — with the per-phase numbers in the JSON for
-transparency. Quality is at parity with the all-exact mode: 24.25 dB vs
-24.28 dB at 10k iterations on the room scene (BASELINE.md), versus the
-round-2 forward-stochastic flagship's 23.79 dB.
+transparency. Quality is at parity with the all-exact mode: 24.18-24.25
+dB vs 24.28 dB at 10k iterations on the room scene (BASELINE.md), versus
+the round-2 forward-stochastic flagship's 23.79 dB.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -56,6 +63,7 @@ NUM_STEPS = 32
 PROPOSAL_STEPS = 64
 GRID_INTERP = 'simplex'
 SAMPLED_BACKWARD = 2
+BACKWARD_POINTS = 0.25
 EXACT_FINAL_FRACTION = 0.1
 WARMUP_ITERS = 5
 BENCH_ITERS = 40
@@ -100,12 +108,13 @@ def main():
         'semantic': jnp.asarray(rng.integers(-1, 6, BATCH), jnp.int32),
     }
 
-    def make_step(sampled_backward):
+    def make_step(sampled_backward, backward_points=1.0):
         options = RenderOptions(num_steps=NUM_STEPS,
                                 proposal_steps=PROPOSAL_STEPS,
                                 perturb=True,
                                 stochastic_corners=0,
-                                sampled_backward=sampled_backward)
+                                sampled_backward=sampled_backward,
+                                backward_points=backward_points)
 
         def loss_fn(p, batch, key):
             out = render_rays(field, p, batch['rays_o'], batch['rays_d'],
@@ -135,7 +144,8 @@ def main():
         _ = float(loss)  # fence
         return (time.perf_counter() - start) / BENCH_ITERS
 
-    sec_sampled = measure(make_step(SAMPLED_BACKWARD), params, opt_state)
+    sec_sampled = measure(make_step(SAMPLED_BACKWARD, BACKWARD_POINTS),
+                          params, opt_state)
     sec_exact = measure(make_step(0), params, opt_state)
     effective_sec = ((1.0 - EXACT_FINAL_FRACTION) * sec_sampled +
                      EXACT_FINAL_FRACTION * sec_exact)
@@ -149,6 +159,7 @@ def main():
         'sampled_backward_ms_per_step': round(sec_sampled * 1000, 1),
         'exact_ms_per_step': round(sec_exact * 1000, 1),
         'exact_final_fraction': EXACT_FINAL_FRACTION,
+        'backward_points': BACKWARD_POINTS,
     }))
 
 

@@ -55,6 +55,9 @@ def main():
     parser.add_argument('--sampled-backward', default='0',
                         help='Exact-forward / sampled-backward gathers '
                         '(1 or 2 scatter rows; overrides --corners).')
+    parser.add_argument('--backward-points', type=float, default=1.0,
+                        help='Magnitude-weighted point subsample of the '
+                        'sampled-backward scatter (fraction in (0, 1]).')
     parser.add_argument('--interp', default='trilinear',
                         choices=['trilinear', 'simplex'],
                         help='Hash-grid interpolant (model-level; eval '
@@ -99,7 +102,8 @@ def main():
             stochastic_corners=flags.corners,
             stochastic_exact_levels=flags.exact_levels,
             stochastic_residual=flags.residual,
-            sampled_backward=parse_sampled_backward(flags.sampled_backward)),
+            sampled_backward=parse_sampled_backward(flags.sampled_backward),
+            backward_points=flags.backward_points),
         workspace=None, ema_decay=0.95,
         exact_final_fraction=flags.exact_final_fraction,
         sampled_warmup_fraction=flags.sampled_warmup_fraction,
@@ -143,6 +147,7 @@ def main():
         'corners': flags.corners,
         'residual': flags.residual,
         'sampled_backward': flags.sampled_backward,
+        'backward_points': flags.backward_points,
         'occupancy': flags.occupancy,
         'exact_levels': flags.exact_levels,
         'exact_final_fraction': flags.exact_final_fraction,

@@ -33,6 +33,7 @@ def main():
     parser.add_argument('--heads-impl', default='xla',
                         choices=['xla', 'pallas'])
     parser.add_argument('--sampled-backward', default='2')
+    parser.add_argument('--backward-points', type=float, default=1.0)
     flags = parser.parse_args()
 
     import jax
@@ -60,7 +61,8 @@ def main():
     options = RenderOptions(num_steps=NUM_STEPS,
                             proposal_steps=PROPOSAL_STEPS, perturb=True,
                             stochastic_corners=flags.corners,
-                            sampled_backward=sbwd)
+                            sampled_backward=sbwd,
+                            backward_points=flags.backward_points)
 
     rng = np.random.default_rng(0)
     n = flags.batch

@@ -87,6 +87,19 @@ def read_args():
                         "to the interpolation's corner count (4 "
                         "simplex / 8 trilinear) scatters exactly on "
                         "that level.")
+    parser.add_argument('--backward-points', type=float, default=0.25,
+                        help="With --sampled-backward, additionally "
+                        "subsample the POINTS that scatter gradients "
+                        "into the hash table: this fraction of the "
+                        "batch's sample points is drawn per step "
+                        "proportional to cotangent magnitude (inverse-"
+                        "probability weighted, unbiased). Volume-"
+                        "rendering gradients concentrate on surface "
+                        "samples (measured: the top 25%% of points "
+                        "carry ~all the gradient mass), so the default "
+                        "0.25 cuts the step's dominant scatter cost "
+                        "4x at quality parity (24.19 vs 24.21-24.25 dB "
+                        "room 10k — BASELINE.md round 4). 1.0 disables.")
     parser.add_argument('--stochastic-exact-levels', type=int, default=0,
                         help="With stochastic corners, interpolate this "
                         "many of the finest grid levels exactly.")
@@ -188,6 +201,7 @@ def main():
         stochastic_exact_levels=flags.stochastic_exact_levels,
         stochastic_residual=flags.stochastic_residual,
         sampled_backward=sampled_backward,
+        backward_points=flags.backward_points,
         occupancy_near_far=flags.occupancy_near_far)
 
     mesh = None

@@ -509,3 +509,115 @@ def test_sampled_backward_zero_position_cotangent():
 
     gx = np.asarray(jax.grad(loss)(x))
     np.testing.assert_array_equal(gx, np.zeros_like(gx))
+
+
+def test_backward_points_forward_is_exact():
+    """Point subsampling shapes only the backward; the forward stays the
+    exact interpolation bit-for-bit."""
+    cfg = HashGridConfig(n_levels=2, n_features=8, log2_hashmap_size=8,
+                         base_resolution=4, per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    for interp in ('trilinear', 'simplex'):
+        exact = hashgrid_encode(table, x, cfg, interp=interp)
+        out = hashgrid_encode(table, x, cfg, key=jax.random.PRNGKey(2),
+                              interp=interp, sampled_backward=2,
+                              backward_points=0.5)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(exact))
+
+
+@pytest.mark.parametrize('interp', ['trilinear', 'simplex'])
+@pytest.mark.parametrize('frac', [0.5, 0.25])
+@pytest.mark.slow
+def test_backward_points_gradient_unbiased(interp, frac):
+    """E over draws of the point-subsampled table gradient equals the
+    exact gradient: systematic resampling from p ~ ||g_i|| with
+    counts/(K*p) inverse-probability weights is unbiased."""
+    cfg = HashGridConfig(n_levels=2, n_features=8, log2_hashmap_size=6,
+                         base_resolution=3, per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (16, 3))
+    c = jax.random.normal(jax.random.PRNGKey(5), (16, cfg.out_dim))
+
+    def loss_exact(t):
+        return (hashgrid_encode(t, x, cfg, interp=interp) * c).sum()
+
+    g_exact = np.asarray(jax.grad(loss_exact)(table))
+
+    def loss_sampled(t, k):
+        return (hashgrid_encode(t, x, cfg, key=k, interp=interp,
+                                sampled_backward=2,
+                                backward_points=frac) * c).sum()
+
+    grad_fn = jax.jit(jax.grad(loss_sampled))
+    n_draws = 4000
+    acc = np.zeros_like(g_exact)
+    for i in range(n_draws):
+        acc += np.asarray(grad_fn(table, jax.random.PRNGKey(100 + i)))
+    np.testing.assert_allclose(acc / n_draws, g_exact, atol=0.2)
+
+
+@pytest.mark.slow
+def test_backward_points_concentrated_cotangent():
+    """When the cotangent is nonzero on only a few points, a fractional
+    point budget that covers them scatters (nearly) the full-batch
+    estimator: zero-gradient points are never drawn, so no budget is
+    wasted on them. Check a single draw's table gradient agrees with the
+    full sampled-backward estimator under the same key to within the
+    count-rounding noise."""
+    cfg = HashGridConfig(n_levels=2, n_features=8, log2_hashmap_size=6,
+                         base_resolution=3, per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (64, 3))
+    # Only 4 of 64 points carry gradient mass.
+    c = np.zeros((64, cfg.out_dim), np.float32)
+    c[:4] = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (4, cfg.out_dim)))
+    c = jnp.asarray(c)
+
+    def loss_exact(t):
+        return (hashgrid_encode(t, x, cfg, interp='simplex') * c).sum()
+
+    g_exact = np.asarray(jax.grad(loss_exact)(table))
+
+    def loss_frac(t, k):
+        return (hashgrid_encode(t, x, cfg, key=k, interp='simplex',
+                                sampled_backward=2,
+                                backward_points=0.25) * c).sum()
+
+    grad_frac = jax.jit(jax.grad(loss_frac))
+    acc = np.zeros_like(g_exact)
+    n_draws = 1500
+    for i in range(n_draws):
+        acc += np.asarray(grad_frac(table, jax.random.PRNGKey(200 + i)))
+    np.testing.assert_allclose(acc / n_draws, g_exact, atol=0.25)
+
+
+def test_backward_points_zero_cotangent_is_finite():
+    """An all-zero cotangent (p falls back to uniform) must produce a
+    zero, NaN-free table gradient."""
+    cfg = HashGridConfig(n_levels=2, n_features=8, log2_hashmap_size=6,
+                         base_resolution=3, per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (16, 3))
+
+    def loss(t):
+        return (hashgrid_encode(t, x, cfg, key=jax.random.PRNGKey(9),
+                                sampled_backward=2,
+                                backward_points=0.5) * 0.0).sum()
+
+    g = np.asarray(jax.grad(loss)(table))
+    np.testing.assert_array_equal(g, np.zeros_like(g))
+
+
+def test_backward_points_validates_range():
+    cfg = HashGridConfig(n_levels=2, n_features=8, log2_hashmap_size=6,
+                         base_resolution=3, per_level_scale=2.0)
+    table = hashgrid_init(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (8, 3))
+    with pytest.raises(ValueError):
+        hashgrid_encode(table, x, cfg, key=jax.random.PRNGKey(0),
+                        sampled_backward=2, backward_points=0.0)
+    with pytest.raises(ValueError):
+        hashgrid_encode(table, x, cfg, key=jax.random.PRNGKey(0),
+                        sampled_backward=2, backward_points=1.5)
