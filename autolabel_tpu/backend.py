@@ -71,14 +71,23 @@ class TrainingLoop:
         grid_cfg = self.field.config.grid
         if grid_cfg is None or grid_cfg.n_features % 8 != 0:
             sampled_backward = 0
+        # Magnitude-weighted backward point subsample (unbiased; the
+        # measured top-25% of points carry ~all gradient mass). Safe
+        # without the offline schedule's exact tail: room 10k with NO
+        # tail at 0.25 measures 24.23 dB, inside the flagship band
+        # (BASELINE.md round 4).
+        backward_points = (getattr(flags, 'backward_points', 0.25)
+                           if sampled_backward else 1.0)
         if getattr(flags, 'proposal', False):
             render_options = RenderOptions(
                 num_steps=32, perturb=True,
                 sampled_backward=sampled_backward,
+                backward_points=backward_points,
                 proposal_steps=getattr(flags, 'proposal_steps', 64))
         else:
             render_options = RenderOptions(num_steps=128, perturb=True,
-                                           sampled_backward=sampled_backward)
+                                           sampled_backward=sampled_backward,
+                                           backward_points=backward_points)
         occupancy = None
         if getattr(flags, 'occupancy_grid', False):
             from autolabel_tpu.render.occupancy import (OccupancyGrid,
