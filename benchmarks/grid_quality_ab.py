@@ -62,6 +62,9 @@ def main():
                         choices=['trilinear', 'simplex'],
                         help='Hash-grid interpolant (model-level; eval '
                         'uses the same interpolant, exactly).')
+    parser.add_argument('--seed', type=int, default=0,
+                        help='Trainer init/step PRNG seed (data sampling '
+                        'is independently unseeded per process).')
     flags = parser.parse_args()
 
     from autolabel_tpu import model_utils
@@ -107,7 +110,7 @@ def main():
         workspace=None, ema_decay=0.95,
         exact_final_fraction=flags.exact_final_fraction,
         sampled_warmup_fraction=flags.sampled_warmup_fraction,
-        metrics=False)
+        metrics=False, seed=flags.seed)
 
     iters_per_epoch = min(1000, flags.iters)
     epochs = int(np.ceil(flags.iters / iters_per_epoch))
@@ -152,6 +155,7 @@ def main():
         'exact_levels': flags.exact_levels,
         'exact_final_fraction': flags.exact_final_fraction,
         'iters': flags.iters,
+        'seed': flags.seed,
         'psnr_db': round(-10 * np.log10(mse), 2),
         'depth_mae': round(float(np.mean(depth_errs)), 4),
         'sem_acc': round(float(np.mean(sem_accs)), 4) if sem_accs else None,
