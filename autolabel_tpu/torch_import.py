@@ -185,9 +185,9 @@ def _import_color_net(state, config):
                           config.num_layers_color)
     # Fold the tcnn-SH direction quirk into the SH rows (see module
     # docstring): reference color nets see SH(2d-1), ours feed SH(d).
-    M = sh_quirk_fold()
-    weights[0] = np.concatenate(
-        [M @ weights[0][:16], weights[0][16:]], axis=0)
+    M = sh_quirk_fold().astype(np.float64)
+    folded = (M @ weights[0][:16].astype(np.float64)).astype(np.float32)
+    weights[0] = np.concatenate([folded, weights[0][16:]], axis=0)
     return weights
 
 

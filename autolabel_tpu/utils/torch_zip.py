@@ -187,3 +187,145 @@ def load_torch_file(path):
     if zipfile.is_zipfile(path):
         return _read_zip(path)
     return _read_legacy(path)
+
+
+# -- writer ---------------------------------------------------------------------
+
+_DTYPE_STORAGES = {np.dtype(k): v for k, v in {
+    'float32': 'FloatStorage',
+    'float64': 'DoubleStorage',
+    'float16': 'HalfStorage',
+    'int64': 'LongStorage',
+    'int32': 'IntStorage',
+    'int16': 'ShortStorage',
+    'int8': 'CharStorage',
+    'uint8': 'ByteStorage',
+    'bool': 'BoolStorage',
+}.items()}
+
+
+class _PickleWriter:
+    """Hand-rolled protocol-2 pickler emitting exactly the object graph
+    torch.save produces (GLOBAL torch._utils._rebuild_tensor_v2 calls
+    over persistent-id storages), so torch.load — including its
+    weights_only unpickler — reads the result as native tensors. No
+    torch needed on the writing host."""
+
+    def __init__(self):
+        self.out = io.BytesIO()
+        self.out.write(b'\x80\x02')  # PROTO 2
+        self.storages = []  # (key, raw little-endian bytes)
+
+    def dumps(self, obj):
+        self._save(obj)
+        self.out.write(b'.')  # STOP
+        return self.out.getvalue()
+
+    def _global(self, module, name):
+        self.out.write(b'c' + module.encode('ascii') + b'\n'
+                       + name.encode('ascii') + b'\n')
+
+    def _save(self, obj):
+        w = self.out.write
+        if obj is None:
+            w(b'N')
+        elif obj is True:
+            w(b'\x88')
+        elif obj is False:
+            w(b'\x89')
+        elif isinstance(obj, (np.ndarray, np.generic)):
+            self._save_tensor(np.asarray(obj))
+        elif isinstance(obj, int):
+            if 0 <= obj < 256:
+                w(b'K' + struct.pack('<B', obj))
+            elif -2 ** 31 <= obj < 2 ** 31:
+                w(b'J' + struct.pack('<i', obj))
+            else:
+                enc = pickle.encode_long(obj)
+                w(b'\x8a' + struct.pack('<B', len(enc)) + enc)
+        elif isinstance(obj, float):
+            w(b'G' + struct.pack('>d', obj))
+        elif isinstance(obj, str):
+            data = obj.encode('utf-8')
+            w(b'X' + struct.pack('<I', len(data)) + data)
+        elif isinstance(obj, collections.OrderedDict):
+            self._global('collections', 'OrderedDict')
+            w(b')R')  # empty-args REDUCE
+            w(b'(')
+            for k, v in obj.items():
+                self._save(k)
+                self._save(v)
+            w(b'u')  # SETITEMS
+        elif isinstance(obj, dict):
+            w(b'}(')
+            for k, v in obj.items():
+                self._save(k)
+                self._save(v)
+            w(b'u')
+        elif isinstance(obj, (list,)):
+            w(b'](')
+            for v in obj:
+                self._save(v)
+            w(b'e')  # APPENDS
+        elif isinstance(obj, tuple):
+            w(b'(')
+            for v in obj:
+                self._save(v)
+            w(b't')
+        else:
+            raise TypeError(
+                f'cannot write {type(obj).__name__} into a torch '
+                'checkpoint (supported: tensors/ndarrays, dicts, lists, '
+                'tuples, str/int/float/bool/None)')
+
+    def _save_tensor(self, arr):
+        if arr.dtype in _DTYPE_STORAGES:
+            storage = _DTYPE_STORAGES[arr.dtype]
+        elif arr.dtype == _bfloat16_dtype():
+            storage = 'BFloat16Storage'
+        else:
+            raise TypeError(f'no torch storage for dtype {arr.dtype}')
+        arr = np.ascontiguousarray(arr)
+        key = str(len(self.storages))
+        self.storages.append((key, arr.tobytes()))
+        w = self.out.write
+        # _rebuild_tensor_v2(storage_pid, 0, size, stride, False, OrderedDict())
+        self._global('torch._utils', '_rebuild_tensor_v2')
+        w(b'(')
+        # persistent id tuple ('storage', torch.XStorage, key, 'cpu', numel)
+        w(b'(')
+        self._save('storage')
+        self._global('torch', storage)
+        self._save(key)
+        self._save('cpu')
+        self._save(int(arr.size))
+        w(b'tQ')  # TUPLE, BINPERSID
+        self._save(0)
+        self._save(tuple(int(s) for s in arr.shape))
+        if arr.size and arr.ndim:
+            stride = tuple(int(s // arr.itemsize) for s in arr.strides)
+        else:
+            stride = tuple([1] * arr.ndim)
+        self._save(stride)
+        self._save(False)
+        self._global('collections', 'OrderedDict')
+        w(b')R')
+        w(b'tR')  # close args tuple, REDUCE
+
+
+def save_torch_file(obj, path):
+    """torch.save, without torch: writes a zip archive torch.load (and
+    load_torch_file) reads back with every numpy array as a tensor.
+    Inverse of load_torch_file for the supported container types."""
+    import os
+    writer = _PickleWriter()
+    data_pkl = writer.dumps(obj)
+    root = os.path.splitext(os.path.basename(path))[0] or 'archive'
+    tmp = str(path) + '.tmp'
+    with zipfile.ZipFile(tmp, 'w', zipfile.ZIP_STORED) as zf:
+        zf.writestr(f'{root}/data.pkl', data_pkl)
+        zf.writestr(f'{root}/byteorder', 'little')
+        for key, data in writer.storages:
+            zf.writestr(f'{root}/data/{key}', data)
+        zf.writestr(f'{root}/version', '3\n')
+    os.replace(tmp, str(path))
