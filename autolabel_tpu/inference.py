@@ -22,7 +22,17 @@ class InferenceModel:
                  params,
                  num_steps=128,
                  upsample_steps=0,
+                 proposal_steps=0,
                  max_ray_batch=4096):
+        """proposal_steps > 0 uses the checkpoint's proposal net (trained
+        with --proposal) to place num_steps main samples from
+        proposal_steps cheap uniform probes — ~num_steps/32 of the
+        hash-grid queries of the dense parity path at matched quality
+        (render/renderer.py proposal chain)."""
+        if proposal_steps > 0 and not field.config.proposal:
+            raise ValueError(
+                'proposal_steps requires a proposal-trained checkpoint '
+                '(FieldConfig.proposal); this field has no proposal net')
         self.field = field
         # Checkpoints load as host numpy pytrees; passing those to jitted
         # functions re-uploads every parameter on EVERY call (measured:
@@ -32,6 +42,7 @@ class InferenceModel:
         self._staged = StagedRenderer(field,
                                       RenderOptions(num_steps=num_steps,
                                                     upsample_steps=upsample_steps,
+                                                    proposal_steps=proposal_steps,
                                                     perturb=False),
                                       max_ray_batch=max_ray_batch)
         self._density = jax.jit(field.density)

@@ -8,6 +8,7 @@ imports are fixed here — SURVEY.md "quirks"). Video writing uses cv2
 import os
 import pickle
 import sys
+import time
 
 import cv2
 import h5py
@@ -51,7 +52,14 @@ def read_args():
                         default=None,
                         type=str,
                         help="Path to list of labels.")
-    parser.add_argument('--num-steps', type=int, default=512)
+    parser.add_argument('--num-steps', type=int, default=None,
+                        help="Volumetric samples per ray. Default 512 "
+                        "(reference parity — minutes per frame on TPU; "
+                        "the script prints a wall-clock estimate after "
+                        "the first frame), or 32 main samples when "
+                        "--proposal is set (the proposal net places "
+                        "them; ~16x fewer field queries at matched "
+                        "quality for proposal-trained checkpoints).")
     parser.add_argument('--size', type=int, nargs=2, default=(480, 360),
                         help="Render resolution (width height).")
     parser.add_argument('--baked', action='store_true',
@@ -183,9 +191,19 @@ def main():
     n_classes = dataset.n_classes if dataset.n_classes is not None else 2
     field = model_utils.create_model(dataset.min_bounds, dataset.max_bounds,
                                      n_classes, model_params)
-    model = InferenceModel.from_checkpoint(field, flags.model_dir,
-                                           num_steps=flags.num_steps,
-                                           max_ray_batch=16384)
+
+    use_proposal = flags.proposal
+    if use_proposal and not getattr(model_params, 'proposal', False):
+        print("--proposal needs a proposal-trained checkpoint (train with "
+              "--proposal); falling back to the dense volumetric path.")
+        use_proposal = False
+    num_steps = flags.num_steps
+    if num_steps is None:
+        num_steps = 32 if use_proposal else 512
+    model = InferenceModel.from_checkpoint(
+        field, flags.model_dir, num_steps=num_steps,
+        proposal_steps=flags.proposal_steps if use_proposal else 0,
+        max_ray_batch=16384)
 
     baked_renderer = None
     if flags.baked:
@@ -199,14 +217,35 @@ def main():
 
     writer = cv2.VideoWriter(flags.out, cv2.VideoWriter_fourcc(*'mp4v'),
                              flags.fps, (960, 720))
-    for frame_index in tqdm(dataset.indices[::flags.stride]):
+    indices = dataset.indices[::flags.stride]
+    first_frame_start = None
+    for i, frame_index in enumerate(tqdm(indices)):
         if baked_renderer is not None:
             frame = render_baked(baked_renderer, dataset, frame_index,
                                  maxdepth=flags.max_depth)
         else:
+            if i == 0:
+                first_frame_start = time.perf_counter()
             batch = dataset._get_test(frame_index)
             frame = render(model, batch, feature_transform,
                            maxdepth=flags.max_depth, classes=classes)
+            if i == 0:
+                # First frame includes compile; still a fair upper bound.
+                per_frame = time.perf_counter() - first_frame_start
+                total = per_frame * len(indices)
+                print(f"\n~{per_frame:.0f} s/frame -> estimated "
+                      f"{total / 60.0:.0f} min for {len(indices)} frames "
+                      f"at {num_steps} samples/ray.")
+                if total > 600:
+                    hints = []
+                    if not use_proposal and getattr(
+                            model_params, 'proposal', False):
+                        hints.append("--proposal (32 proposal-placed "
+                                     "samples, ~16x fewer field queries)")
+                    hints.append("--baked (one bake sweep, then "
+                                 "projection-only frames)")
+                    print("This exceeds 10 min; consider "
+                          + " or ".join(hints) + ".")
         writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
 

@@ -112,6 +112,44 @@ def test_render_cli(trained_scene, monkeypatch, tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_render_cli_proposal_fallback(trained_scene, monkeypatch, tmp_path,
+                                      capsys):
+    """--proposal on a checkpoint trained WITHOUT a proposal net warns
+    and falls back to the dense volumetric path."""
+    out = str(tmp_path / 'video_noprop.mp4')
+    model_dir = os.path.join(trained_scene, 'nerf',
+                             'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5'
+                             '_tpugrid_simplex')
+    _run_script(monkeypatch, 'render',
+                [trained_scene, '--model-dir', model_dir, '--out', out,
+                 '--num-steps', '16', '--size', '48', '36',
+                 '--stride', '8', '--proposal'])
+    assert 'falling back' in capsys.readouterr().out
+    assert os.path.getsize(out) > 1000
+
+
+def test_render_cli_proposal(sphere_scene, monkeypatch, tmp_path):
+    """Train WITH --proposal, then render through the proposal-sampled
+    inference path (32 proposal-placed main samples)."""
+    import importlib
+    module = importlib.import_module('train')
+    monkeypatch.setattr(sys, 'argv',
+                        ['train.py', sphere_scene, '--iters', '60',
+                         '--batch-size', '256', '--factor-train', '1',
+                         '--num-steps', '16', '--proposal',
+                         '--proposal-steps', '32'])
+    module.main()
+    out = str(tmp_path / 'video_prop.mp4')
+    model_dir = os.path.join(sphere_scene, 'nerf',
+                             'g15_hg+freq_plain_rgb1.0_d0.1_s1.0_f0.5'
+                             '_tpugrid_prop_simplex')
+    _run_script(monkeypatch, 'render',
+                [sphere_scene, '--model-dir', model_dir, '--out', out,
+                 '--size', '48', '36', '--stride', '8', '--proposal',
+                 '--proposal-steps', '32'])
+    assert os.path.getsize(out) > 1000
+
+
 def test_render_cli_baked(trained_scene, monkeypatch, tmp_path):
     """--baked: one bake sweep, then splat-projected frames (no
     per-frame field queries)."""
