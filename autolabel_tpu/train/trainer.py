@@ -94,7 +94,7 @@ class SimpleTrainer:
                  max_ray_batch=4096,
                  occupancy=None,
                  occupancy_update_every=100,
-                 exact_final_fraction=0.1,
+                 exact_final_fraction=0.0,
                  sampled_warmup_fraction=0.0,
                  metrics=True,
                  tensorboard=False,
@@ -163,6 +163,11 @@ class SimpleTrainer:
         #                           noise does not cap converged quality
         #                           (sphere A/B: stochastic-only
         #                           plateaus ~1.5 dB below exact).
+        # Default exact_final_fraction=0: the tail matters for the
+        # forward-stochastic estimator above, but for the flagship
+        # sampled-backward estimator (exact forward) a 3-seed A/B
+        # measured NO tail benefit — tail-on scored 0.06 dB worse on
+        # mean PSNR (benchmarks/exact_tail_seeds.py; BASELINE.md r5).
         # Each phase is its own jitted step; selection happens on the
         # host by global_step (no in-jit branching).
         phase_starts = [0]

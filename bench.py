@@ -19,14 +19,20 @@ because volume-rendering gradients concentrate on surface samples (the
 measured top-25% of points carry ~100% of the gradient mass; BASELINE.md
 round 4). This cuts backward scatter rows 4x below the round-3 flagship.
 
-The flagship training schedule anneals: the first 90% of iterations run
-the sampled-backward step, the final 10% run fully exact gathers (the
-trainer's exact_final_fraction). The reported value is the
-schedule-weighted EFFECTIVE rays/s — what a full default 10k-iteration
-run actually sustains — with the per-phase numbers in the JSON for
-transparency. Quality is at parity with the all-exact mode: 24.18-24.25
-dB vs 24.28 dB at 10k iterations on the room scene (BASELINE.md), versus
-the round-2 forward-stochastic flagship's 23.79 dB.
+The default schedule runs the sampled-backward step for ALL iterations
+(exact_final_fraction = 0). Round 5 settled the exact-gather annealing
+tail with a 3-seed A/B at 10k iterations on the room scene
+(benchmarks/exact_tail_seeds.py; BASELINE.md "Round 5: exact-tail seed
+study"): tail-OFF measured 24.20 dB mean vs tail-ON 24.13, i.e. the
+tail's supposed quality benefit is not just inside the 0.07 dB seed
+spread — it has the wrong sign. The trainer keeps the phase machinery
+and the CLI keeps --exact-final-fraction for users who want it; the
+reported value is the schedule-weighted EFFECTIVE rays/s (identical to
+the sampled leg at fraction 0), with the exact-leg time still in the
+JSON for transparency. Quality is at parity with the all-exact mode:
+24.16-24.23 dB vs 24.28 dB at 10k iterations on the room scene
+(BASELINE.md), versus the round-2 forward-stochastic flagship's
+23.79 dB.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -64,7 +70,7 @@ PROPOSAL_STEPS = 64
 GRID_INTERP = 'simplex'
 SAMPLED_BACKWARD = 2
 BACKWARD_POINTS = 0.25
-EXACT_FINAL_FRACTION = 0.1
+EXACT_FINAL_FRACTION = 0.0
 WARMUP_ITERS = 5
 BENCH_ITERS = 40
 

@@ -46,7 +46,7 @@ def main():
     parser.add_argument('--exact-levels', type=int, default=0,
                         help='Finest grid levels interpolated exactly '
                         'during the stochastic phase.')
-    parser.add_argument('--exact-final-fraction', type=float, default=0.1)
+    parser.add_argument('--exact-final-fraction', type=float, default=0.0)
     parser.add_argument('--residual', action='store_true',
                         help='Rao-Blackwellized 2-row estimator (max-'
                         'weight corner deterministic + residual draw).')

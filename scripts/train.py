@@ -109,10 +109,13 @@ def read_args():
                         "leading fraction of the schedule with "
                         "sampled-backward 1 (half the scatter rows; "
                         "gradient noise matters least early).")
-    parser.add_argument('--exact-final-fraction', type=float, default=0.1,
+    parser.add_argument('--exact-final-fraction', type=float, default=0.0,
                         help="Train the final fraction of the schedule "
                         "with exact trilinear gathers (anneals away the "
-                        "stochastic-corner estimator noise).")
+                        "stochastic-corner estimator noise). Default 0: "
+                        "a 3-seed A/B at the flagship estimator measured "
+                        "no tail benefit (the tail scored 0.06 dB WORSE "
+                        "on mean PSNR; BASELINE.md round 5).")
     parser.add_argument('--no-metrics', action='store_true',
                         help="Skip the per-epoch metrics.jsonl scalars "
                         "(avoids the one device fetch per epoch, which "
