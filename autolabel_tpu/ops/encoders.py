@@ -399,16 +399,18 @@ def hashgrid_encode(table, x, config, key=None, n_samples=1, exact_levels=0,
     return _encode_lanes(table, x, config)
 
 
-def _encode_rows(table, x, config):
+def _encode_rows(table, x, config, dtype=None):
     n = x.shape[0]
+    dtype = dtype or table.dtype
+    table = table.astype(dtype)
     cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     outs = []
     for l in range(config.n_levels):
-        acc = jnp.zeros((n, config.n_features), table.dtype)
+        acc = jnp.zeros((n, config.n_features), dtype)
         for corner in _CORNERS:
             idx = _corner_index(cell[:, l], corner, stride[l], use_dense[l],
                                 size[l])  # (N,)
-            weight = _corner_weight(frac[:, l], corner).astype(table.dtype)
+            weight = _corner_weight(frac[:, l], corner).astype(dtype)
             acc = acc + jnp.take(table[l], idx, axis=0) * weight[:, None]
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
@@ -443,24 +445,27 @@ def _simplex_corners(frac_l):
 
 
 def _exact_level_rows_simplex(table, l, cell, frac, stride, use_dense,
-                              size, config):
+                              size, config, dtype=None):
     """4-corner tetrahedral interpolation of one level (rows layout)."""
+    dtype = dtype or table.dtype
     offsets, weights = _simplex_corners(frac[:, l])
-    acc = jnp.zeros((cell.shape[-1], config.n_features), table.dtype)
+    acc = jnp.zeros((cell.shape[-1], config.n_features), dtype)
+    table_l = table[l].astype(dtype)
     for ci in range(4):
         idx = _corner_index(cell[:, l],
                             (offsets[ci, 0], offsets[ci, 1], offsets[ci, 2]),
                             stride[l], use_dense[l], size[l])
-        acc = acc + jnp.take(table[l], idx, axis=0) \
-            * weights[ci].astype(table.dtype)[:, None]
+        acc = acc + jnp.take(table_l, idx, axis=0) \
+            * weights[ci].astype(dtype)[:, None]
     return acc
 
 
-def _encode_rows_simplex(table, x, config):
+def _encode_rows_simplex(table, x, config, dtype=None):
     cell, frac, stride, use_dense, size = _grid_geometry(x, config)
     return jnp.concatenate([
         _exact_level_rows_simplex(table, l, cell, frac, stride,
-                                  use_dense, size, config) for l in range(config.n_levels)
+                                  use_dense, size, config, dtype)
+        for l in range(config.n_levels)
     ], axis=-1)
 
 
@@ -581,29 +586,52 @@ def _encode_residual(table, x, config, key, exact_levels, interp):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _atoms(interp, frac_l):
-    """Corner offsets + weights of one level's interpolation atoms.
+def _corner_idx_weights(x, config, interp):
+    """Every level's interpolation atoms, materialized: table indices
+    (L, A, N) int32 and interpolation weights (L, A, N) fp32 (A = 4
+    simplex / 8 trilinear atoms). Computed ONCE per step by the
+    sampled-backward forward rule and saved as VJP residuals (8-17 MB at
+    the flagship shape) so the backward never re-runs the cell/hash
+    geometry — measured cheaper than the recompute it replaces."""
+    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
+    idx_levels, w_levels = [], []
+    for l in range(config.n_levels):
+        if interp == 'simplex':
+            offsets, w = _simplex_corners(frac[:, l])
+            idx = jnp.stack([
+                _corner_index(cell[:, l],
+                              (offsets[ci, 0], offsets[ci, 1],
+                               offsets[ci, 2]),
+                              stride[l], use_dense[l], size[l])
+                for ci in range(4)])
+        else:
+            w = jnp.stack([_corner_weight(frac[:, l], c) for c in _CORNERS])
+            idx = jnp.stack([
+                _corner_index(cell[:, l], c, stride[l], use_dense[l],
+                              size[l]) for c in _CORNERS])
+        idx_levels.append(idx)
+        w_levels.append(w)
+    return jnp.stack(idx_levels), jnp.stack(w_levels)
 
-    Returns (offset_fn: atom-index (N,) -> (3, N) offsets, weights (A, N))
-    — the offset selection avoids materializing (A, 3, N) tensors or
-    take_along_axis (see _encode_residual).
-    """
-    if interp == 'simplex':
-        simplex_offsets, weights = _simplex_corners(frac_l)
 
-        def offset_fn(i):
-            return jnp.where(
-                i[None, :] == 0, simplex_offsets[0],
-                jnp.where(i[None, :] == 1, simplex_offsets[1],
-                          jnp.where(i[None, :] == 2, simplex_offsets[2],
-                                    simplex_offsets[3])))  # (3, N)
-        return offset_fn, weights
-    weights = jnp.stack([_corner_weight(frac_l, c) for c in _CORNERS])
-
-    def offset_fn(i):
-        # _CORNERS meshgrid order: atom i -> bits ((i>>2)&1, (i>>1)&1, i&1).
-        return jnp.stack([(i >> 2) & 1, (i >> 1) & 1, i & 1])
-    return offset_fn, weights
+def _gather_from_atoms(table, idx, w, config):
+    """Exact interpolation from materialized atoms, in the MLP compute
+    dtype (bf16 on TPU): the consuming matmul casts to bf16 anyway, so
+    interpolating there only moves the rounding one op earlier while
+    halving every gather/accumulate byte (benchmarks/encode_lab.py).
+    Eval paths use the exact fp32 interpolation (key=None)."""
+    from autolabel_tpu.ops.mlp import _default_compute_dtype
+    dtype = _default_compute_dtype()
+    n = idx.shape[2]
+    outs = []
+    for l in range(config.n_levels):
+        table_l = table[l].astype(dtype)
+        acc = jnp.zeros((n, config.n_features), dtype)
+        for ci in range(idx.shape[1]):
+            acc = acc + jnp.take(table_l, idx[l, ci], axis=0) \
+                * w[l, ci].astype(dtype)[:, None]
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -620,16 +648,14 @@ def _encode_sampled_bwd(config, interp, bwd_rows, point_frac, table, x, u):
     loses nothing.
     """
     del u, bwd_rows, point_frac
-    if interp == 'simplex':
-        return _encode_rows_simplex(table, x, config)
-    return _encode_rows(table, x, config)
+    idx, w = _corner_idx_weights(x, config, interp)
+    return _gather_from_atoms(table, idx, w, config)
 
 
 def _encode_sampled_bwd_fwd(config, interp, bwd_rows, point_frac, table, x,
                             u):
-    out = _encode_sampled_bwd(config, interp, bwd_rows, point_frac, table, x,
-                              u)
-    return out, (x, u)
+    idx, w = _corner_idx_weights(x, config, interp)
+    return _gather_from_atoms(table, idx, w, config), (idx, w, u)
 
 
 def _select_backward_points(g, u_sys, k):
@@ -639,7 +665,12 @@ def _select_backward_points(g, u_sys, k):
     E[counts_i] = k * p_i exactly, and coef = counts / (k * p). Points
     with zero cotangent are never drawn (their true gradient is zero).
     top_k compacts the <= k nonzero counts into a static-shape index
-    set; padding rows carry coef 0 and scatter nothing."""
+    set; padding rows carry coef 0 and scatter nothing. top_k is the
+    MEASURED winner for this compaction on TPU (benchmarks/
+    select_lab.py, 131k points, k = N/4): 1.9 ms vs 5.9 ms for a
+    searchsorted inverse-CDF draw (17 binary-search iterations = 17
+    scalar-gather rounds — the gather engine's row latency dwarfs the
+    sort) and vs 2.4 ms for a sort-free stride-stratified draw."""
     n = g.shape[0]
     g32 = g.astype(jnp.float32)
     s = jnp.sqrt(jnp.sum(g32 * g32, axis=-1))  # (N,)
@@ -655,11 +686,25 @@ def _select_backward_points(g, u_sys, k):
     return sel, coef
 
 
+def _pick_rows(rows, i):
+    """rows (A, N) -> (N,): per-column selection by atom index i (N,).
+    A is tiny (4/8), so chained selects beat a take_along_axis gather."""
+    out = rows[0]
+    for a in range(1, rows.shape[0]):
+        out = jnp.where(i == a, rows[a], out)
+    return out
+
+
 def _encode_sampled_bwd_bwd(config, interp, bwd_rows, point_frac, res, g):
-    x, u = res
-    cell, frac, stride, use_dense, size = _grid_geometry(x, config)
+    idx, w, u = res  # (L, A, N) int32, (L, A, N) fp32, (L, N[+1])
     f = config.n_features
-    n = x.shape[0]
+    n = idx.shape[2]
+    n_points = n  # primal x row count, for the zero x-cotangent
+    # The bf16 training forward hands back a bf16 cotangent; the table
+    # gradient accumulates in fp32 regardless (scatter-add is row-
+    # latency-bound, so the wider dtype costs nothing, and collisions
+    # on coarse levels would otherwise compound bf16 rounding).
+    g = g.astype(jnp.float32)
     cot = jnp.zeros((config.n_levels, config.table_size, f), g.dtype)
 
     uc = u[:, :n]
@@ -668,46 +713,41 @@ def _encode_sampled_bwd_bwd(config, interp, bwd_rows, point_frac, res, g):
         k = max(1, int(round(point_frac * n)))
         sel, coef = _select_backward_points(g, u[0, n], k)
         g_sc = jnp.take(g, sel, axis=0) * coef[:, None].astype(g.dtype)
-        cell = jnp.take(cell, sel, axis=2)
-        frac = jnp.take(frac, sel, axis=2)
+        idx = jnp.take(idx, sel, axis=2)
+        w = jnp.take(w, sel, axis=2)
         uc = jnp.take(uc, sel, axis=1)
         n = k
 
-    def scatter(cot, l, off, coef, g_l):
-        idx = _corner_index(cell[:, l], (off[0], off[1], off[2]), stride[l],
-                            use_dense[l], size[l])
-        return cot.at[l, idx].add(coef[:, None].astype(g_l.dtype) * g_l)
-
     for l in range(config.n_levels):
         g_l = g_sc[:, l * f:(l + 1) * f]
-        offset_fn, weights = _atoms(interp, frac[:, l])
-        if bwd_rows[l] >= weights.shape[0]:
+        idx_l, w_l = idx[l], w[l]  # (A, N)
+        n_atoms = w_l.shape[0]
+        if bwd_rows[l] >= n_atoms:
             # Exact scatter: every atom at its exact weight (the true
             # VJP of the interpolation on this level). Used for coarse
             # levels whose few distinct rows make the scatter cheap and
             # whose gradients decide the table's global layout.
-            for ci in range(weights.shape[0]):
-                cot = scatter(cot, l, offset_fn(jnp.full((n,), ci,
-                                                         jnp.int32)),
-                              weights[ci], g_l)
+            for ci in range(n_atoms):
+                cot = cot.at[l, idx_l[ci]].add(w_l[ci][:, None] * g_l)
         elif bwd_rows[l] == 2:
             # Rao-Blackwellized residual pair (mirrors _encode_residual).
-            m = jnp.argmax(weights, axis=0)
-            w_m = jnp.max(weights, axis=0)
-            cot = scatter(cot, l, offset_fn(m), w_m, g_l)
+            m = jnp.argmax(w_l, axis=0)
+            w_m = jnp.max(w_l, axis=0)
+            cot = cot.at[l, _pick_rows(idx_l, m)].add(w_m[:, None] * g_l)
             wr = jnp.where(
-                jnp.arange(weights.shape[0])[:, None] == m[None], 0.0,
-                weights)
+                jnp.arange(n_atoms)[:, None] == m[None], 0.0, w_l)
             cum = jnp.cumsum(wr, axis=0) / jnp.maximum(
                 wr.sum(axis=0), 1e-12)
             j = (uc[l][None] > cum[:-1]).sum(axis=0)
-            cot = scatter(cot, l, offset_fn(j), 1.0 - w_m, g_l)
+            cot = cot.at[l, _pick_rows(idx_l, j)].add(
+                (1.0 - w_m)[:, None] * g_l)
         else:
             # One importance draw J ~ w: scattered mass w_J / p_J = 1.
-            cum = jnp.cumsum(weights[:-1], axis=0)
+            cum = jnp.cumsum(w_l[:-1], axis=0)
             j = (uc[l][None] > cum).sum(axis=0)
-            cot = scatter(cot, l, offset_fn(j), jnp.ones(n), g_l)
-    return cot, jnp.zeros_like(x), jnp.zeros_like(u)
+            cot = cot.at[l, _pick_rows(idx_l, j)].add(g_l)
+    return (cot, jnp.zeros((n_points, 3), jnp.float32),
+            jnp.zeros_like(u))
 
 
 _encode_sampled_bwd.defvjp(_encode_sampled_bwd_fwd, _encode_sampled_bwd_bwd)
