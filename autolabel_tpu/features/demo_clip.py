@@ -35,8 +35,11 @@ FEATURE_DIM = 512
 STRIDE = 2
 
 # Tiny but real CLIP text tower (causal transformer, QuickGELU, EOT
-# pooling, projection — features/clip_text_jax.encode_tokens).
-_TEXT_CONFIG = dict(vocab_size=514, width=128, depth=2, heads=4,
+# pooling, projection — features/clip_text_jax.encode_tokens). Round 5
+# grew it a notch (128x2 -> 192x3) for compositional binding: the 128x2
+# tower collapsed "sphere colored blue" onto the red-ball cluster
+# (BASELINE.md round 3 held-out table).
+_TEXT_CONFIG = dict(vocab_size=514, width=192, depth=3, heads=6,
                     context_length=32, embed_dim=FEATURE_DIM)
 
 
@@ -115,20 +118,87 @@ ROOM_PROMPT_BANK = {
         'tall yellow box', 'a pillar that is yellow', 'yellow post'],
 }
 
+# Attribute decomposition of the attribute-bearing room classes:
+# color synonyms x shape nouns, combined through _TEMPLATES into
+# compositional training prompts ("sphere colored blue", "a box that is
+# green", ...). Classes absent here (the wall) train on their static
+# synonyms only.
+ROOM_ATTRIBUTES = {
+    2: (['red', 'crimson', 'scarlet'],
+        ['ball', 'sphere', 'orb', 'round object']),
+    3: (['green', 'emerald'], ['box', 'cube', 'crate', 'block']),
+    4: (['blue', 'azure'], ['ball', 'sphere', 'orb', 'round object']),
+    5: (['yellow', 'golden'], ['pillar', 'column', 'post']),
+}
+
+# Compositional phrasing templates over (color c, noun n). Word order
+# varies on BOTH sides of the noun so the text tower must bind the
+# attribute wherever it appears, not read a positional shortcut.
+_TEMPLATES = [
+    '{c} {n}', 'a {c} {n}', 'the {c} {n}',
+    '{n} colored {c}', 'a {n} colored {c}', 'the {n} colored {c}',
+    '{c} colored {n}', 'a {n} that is {c}', 'the {n} in {c}',
+    '{n} of {c} color',
+]
+
+
+def compositional_prompts(attributes):
+    """(positives, negatives): per-class compositional phrasings plus
+    WRONG-pairing hard negatives.
+
+    positives: {class_id: [prompt, ...]} — every template over the
+    class's own (color, noun) pairs. negatives: [prompt, ...] — every
+    template over (color of class A, noun of class B) pairs where no
+    class owns that combination (e.g. 'red box', 'pillar colored
+    blue'). Negatives enter the InfoNCE softmax as extra distractor
+    columns no pixel may match, which forces genuine attribute binding:
+    without them, 'blue' and 'ball' can embed as one fused symbol and
+    any novel pairing collapses onto the nearest training cluster (the
+    round-3 held-out failure).
+    """
+    positives = {}
+    for cid, (colors, nouns) in attributes.items():
+        positives[cid] = [t.format(c=c, n=n) for t in _TEMPLATES
+                          for c in colors for n in nouns]
+    negatives = []
+    for _, (colors_a, _) in attributes.items():
+        for _, (_, nouns_b) in attributes.items():
+            for c in colors_a:
+                for n in nouns_b:
+                    # Skip (color, noun) pairs some class genuinely owns
+                    # (class 2 and 4 share nouns: 'blue ball' belongs to
+                    # class 4 and must never be a negative).
+                    owned = any(c in cs and n in ns
+                                for cs, ns in attributes.values())
+                    if owned:
+                        continue
+                    negatives.extend(t.format(c=c, n=n)
+                                     for t in _TEMPLATES)
+    return positives, sorted(set(negatives))
+
 
 # -- training ------------------------------------------------------------------
 
 
-def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=1500,
+def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=2500,
                        crop=96, lr=2e-3, seed=0, frames_stride=4,
-                       log_every=200):
+                       log_every=200, attributes=None, n_negatives=8):
     """Contrastive text<->pixel training on a scene with dense gt labels.
 
     Each step crops a random window from a random frame, embeds its
-    pixels with the pixel tower and one sampled synonym per class with
+    pixels with the pixel tower and one sampled phrasing per class with
     the text tower, and minimizes InfoNCE over classes per labeled
     pixel. Both towers train jointly from scratch — the shared space is
     LEARNED, not constructed. Saves the .npz checkpoint to out_path.
+
+    attributes ({class_id: (colors, nouns)}; defaults to
+    ROOM_ATTRIBUTES when no custom prompt_bank is given) expands each
+    class's phrasings with every _TEMPLATES compositional wording of
+    its own (color, noun) pairs, and adds `n_negatives` WRONG-pairing
+    hard negatives ('red box', 'pillar colored blue', ...) to every
+    step's InfoNCE softmax as distractor columns no pixel may match —
+    the text tower must bind attributes compositionally instead of
+    memorizing fused class symbols (the round-3 held-out failure mode).
     """
     import cv2
     import jax
@@ -137,7 +207,15 @@ def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=1500,
 
     from autolabel_tpu.features import clip_text_jax
 
+    if attributes is None:
+        attributes = ROOM_ATTRIBUTES if prompt_bank is None else {}
     prompt_bank = prompt_bank or ROOM_PROMPT_BANK
+    comp_pos, negatives = (compositional_prompts(attributes)
+                           if attributes else ({}, []))
+    prompt_bank = {cid: list(dict.fromkeys(
+        list(syns) + comp_pos.get(cid, [])))
+        for cid, syns in prompt_bank.items()}
+    n_negatives = min(n_negatives, len(negatives))
     class_ids = sorted(prompt_bank)
     config = clip_text_jax.CLIPTextConfig(**_TEXT_CONFIG)
     tokenizer = _char_tokenizer()
@@ -169,7 +247,13 @@ def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=1500,
         tokens[ci, :len(toks)] = toks
         n_syn[ci] = len(toks)
     tokens = jnp.asarray(tokens)
+    n_syn_np = n_syn.copy()
     n_syn = jnp.asarray(n_syn)
+    if n_negatives:
+        neg_tokens = jnp.asarray(np.stack(
+            tokenizer.tokenize(negatives, config.context_length)))
+    else:
+        neg_tokens = jnp.zeros((0, config.context_length), jnp.int32)
     # gt class id -> contiguous [0, C) (and -1 for unknown ids).
     remap = np.full(int(max(class_ids)) + 1, -1, np.int32)
     for ci, cid in enumerate(class_ids):
@@ -188,25 +272,31 @@ def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=1500,
     c = len(class_ids)
     out_hw = crop // STRIDE
 
-    def loss_fn(p, crops, crop_labels, syn_choice):
+    def loss_fn(p, crops, crop_labels, syn_choice, neg_choice):
         # crops: (B, crop, crop, 3); crop_labels: (B, out, out) in [-1, C).
         pix = apply_pixel_tower(p['pixel'], crops)  # (B, o, o, D) unit
         chosen = tokens[jnp.arange(c), syn_choice]  # (C, context)
+        # Hard negatives join the softmax as distractor columns:
+        # targets stay in [0, C), so any probability mass a wrong
+        # pairing attracts is pure loss.
+        chosen = jnp.concatenate(
+            [chosen, jnp.take(neg_tokens, neg_choice, axis=0)])
         txt = clip_text_jax.encode_tokens(p['text'], chosen, config)
         txt = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-6)
         scale = jnp.exp(jnp.clip(p['logit_scale'], 0.0, 4.6))
         logits = scale * jnp.einsum('bhwd,cd->bhwc', pix, txt)
+        n_cols = c + neg_choice.shape[0]
         valid = crop_labels >= 0
         targets = jnp.clip(crop_labels, 0, c - 1)
         ce = optax.softmax_cross_entropy_with_integer_labels(
-            logits.reshape(-1, c), targets.reshape(-1))
+            logits.reshape(-1, n_cols), targets.reshape(-1))
         ce = jnp.where(valid.reshape(-1), ce, 0.0)
         return ce.sum() / jnp.maximum(valid.sum(), 1)
 
     @jax.jit
-    def step(p, o, crops, crop_labels, syn_choice):
+    def step(p, o, crops, crop_labels, syn_choice, neg_choice):
         loss, grads = jax.value_and_grad(loss_fn)(p, crops, crop_labels,
-                                                  syn_choice)
+                                                  syn_choice, neg_choice)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
@@ -228,10 +318,13 @@ def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=1500,
         # Label of each stride-cell = its top-left pixel's label (cells
         # mixing classes contribute a slightly noisy but unbiased signal).
         lab = remap[lab[:, ::STRIDE, ::STRIDE]]
-        syn = rng.integers(0, np.asarray(n_syn))
+        syn = rng.integers(0, n_syn_np)
+        neg = (rng.integers(0, len(negatives), n_negatives)
+               if n_negatives else np.zeros(0, np.int64))
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(crops), jnp.asarray(lab),
-                                       jnp.asarray(syn, np.int32))
+                                       jnp.asarray(syn, np.int32),
+                                       jnp.asarray(neg, np.int32))
         if log_every and (it % log_every == 0 or it == iters - 1):
             print(f"demo-teacher iter {it}: loss {float(loss):.4f}",
                   flush=True)
