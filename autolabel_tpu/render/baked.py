@@ -192,6 +192,7 @@ def _splat_render(points, rgb, sh, semantic, valid, intrinsics, T_CW,
     depth = zbuf[:n_pixels].reshape(height, width)
     classes = sem[:n_pixels].reshape(height, width)  # 0 = hole
     hit = cnt[:n_pixels].reshape(height, width) > 0
+    splat_hit = hit  # pre-fill coverage (diagnostics: hole-filled px)
 
     # Dense hole filling: nearest-by-depth 3x3 neighborhood, few passes.
     def fill(state, _):
@@ -221,7 +222,7 @@ def _splat_render(points, rgb, sh, semantic, valid, intrinsics, T_CW,
     image = jnp.where(hit[..., None], image, 1.0)  # bg_color parity
     depth = jnp.where(hit, depth, 0.0)
     classes = jnp.where(hit, jnp.maximum(classes - 1, 0), 0)
-    return image, depth, classes
+    return image, depth, classes, splat_hit
 
 
 @jax.jit
@@ -580,10 +581,11 @@ class BakedRenderer:
         (width, height). Returns dict with image (H, W, 3), depth (H, W)
         z-depth, semantic (H, W) class ids."""
         width, height = int(size[0]), int(size[1])
-        image, depth, classes = _splat_render(
+        image, depth, classes, splat_hit = _splat_render(
             self.baked.points, self.baked.rgb, self.baked.sh,
             self.baked.semantic, self.baked.valid,
             jnp.asarray(intrinsics, jnp.float32),
             jnp.asarray(T_CW, jnp.float32), height, width,
             self.fill_passes)
-        return {'image': image, 'depth': depth, 'semantic': classes}
+        return {'image': image, 'depth': depth, 'semantic': classes,
+                'splat_hit': splat_hit}

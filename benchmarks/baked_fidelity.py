@@ -48,6 +48,11 @@ def main():
                         help="Disable the degree-1 SH view-dependent "
                         "splat color (fall back to the round-2 canonical "
                         "downward view).")
+    parser.add_argument('--diagnose', action='store_true',
+                        help="Break semantic disagreement down by pixel "
+                        "population (hole-filled vs direct-splat vs "
+                        "class-boundary) and report depth-error "
+                        "quantiles — tells the fix where to aim.")
     flags = parser.parse_args()
 
     from autolabel_tpu import model_utils
@@ -83,6 +88,9 @@ def main():
     n = min(flags.frames, len(dataset.poses))
     stride = max(len(dataset.poses) // n, 1)
     b_vs_v, v_vs_gt, b_vs_gt, sem_agree, depth_mae = [], [], [], [], []
+    diag = {'hole_px': 0, 'hole_dis': 0, 'direct_px': 0, 'direct_dis': 0,
+            'boundary_px': 0, 'boundary_dis': 0, 'interior_px': 0,
+            'interior_dis': 0, 'depth_err': []}
     for i in range(0, n * stride, stride):
         batch = dataset._get_test(i)
         vol = model.render(batch)
@@ -104,6 +112,25 @@ def main():
         if both.any():
             depth_mae.append(float(np.abs(v_depth[both]
                                           - b_depth[both]).mean()))
+        if flags.diagnose:
+            dis = v_sem != b_sem
+            hole = ~np.asarray(baked['splat_hit'])
+            # Boundary = volumetric class differs from any 3x3 neighbor.
+            bnd = np.zeros_like(dis)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    bnd |= v_sem != np.roll(v_sem, (dy, dx), (0, 1))
+            diag['hole_px'] += int(hole.sum())
+            diag['hole_dis'] += int((dis & hole).sum())
+            diag['direct_px'] += int((~hole).sum())
+            diag['direct_dis'] += int((dis & ~hole).sum())
+            diag['boundary_px'] += int((bnd & ~hole).sum())
+            diag['boundary_dis'] += int((dis & bnd & ~hole).sum())
+            diag['interior_px'] += int((~bnd & ~hole).sum())
+            diag['interior_dis'] += int((dis & ~bnd & ~hole).sum())
+            if both.any():
+                diag['depth_err'].append(np.abs(v_depth[both]
+                                                - b_depth[both]))
 
     print(json.dumps({
         'scene': os.path.basename(os.path.normpath(flags.scene)),
@@ -119,6 +146,27 @@ def main():
         'semantic_agreement': round(float(np.mean(sem_agree)), 4),
         'depth_mae_baked_vs_volumetric':
             round(float(np.mean(depth_mae)), 4) if depth_mae else None,
+        **({} if not flags.diagnose else {
+            'diag_hole_frac': round(diag['hole_px'] / max(
+                diag['hole_px'] + diag['direct_px'], 1), 4),
+            'diag_hole_disagree': round(
+                diag['hole_dis'] / max(diag['hole_px'], 1), 4),
+            'diag_direct_disagree': round(
+                diag['direct_dis'] / max(diag['direct_px'], 1), 4),
+            'diag_boundary_disagree': round(
+                diag['boundary_dis'] / max(diag['boundary_px'], 1), 4),
+            'diag_interior_disagree': round(
+                diag['interior_dis'] / max(diag['interior_px'], 1), 4),
+            'diag_disagree_share_hole': round(diag['hole_dis'] / max(
+                diag['hole_dis'] + diag['direct_dis'], 1), 4),
+            'diag_disagree_share_boundary': round(
+                diag['boundary_dis'] / max(
+                    diag['hole_dis'] + diag['direct_dis'], 1), 4),
+            'diag_depth_err_q50_q90_q99': [
+                round(float(np.quantile(
+                    np.concatenate(diag['depth_err']), q)), 4)
+                for q in (0.5, 0.9, 0.99)] if diag['depth_err'] else None,
+        }),
     }))
 
 
