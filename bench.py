@@ -54,6 +54,7 @@ so vs_baseline understates the advantage. The measured anchor of the
 actual reference stack (its own CLI, identical scene/schedule, torch
 CPU) is 67.6x end-to-end at +0.6 dB (BASELINE.md round 2).
 """
+import functools
 import json
 import time
 
@@ -129,7 +130,12 @@ def main():
             loss, _ = compute_losses(out, batch, loss_options)
             return loss
 
-        @jax.jit
+        # donate_argnums matches the real trainer's step
+        # (train/trainer.py jits with donate_argnums=0): the bench
+        # measures the step users actually run, and donation is worth
+        # a measured ~0.6 ms at the flagship shape (step_breakdown
+        # full_step vs full_step_donated).
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(p, opt_state, batch, key):
             loss, grads = jax.value_and_grad(loss_fn)(p, batch, key)
             updates, opt_state = tx.update(grads, opt_state, p)
@@ -138,6 +144,10 @@ def main():
         return step
 
     def measure(step, p, o):
+        # The step donates its state buffers; measure on copies so both
+        # legs (sampled + exact) start from the same initial state.
+        p = jax.tree.map(jnp.copy, p)
+        o = jax.tree.map(jnp.copy, o)
         key = jax.random.PRNGKey(1)
         for i in range(WARMUP_ITERS):
             key = jax.random.fold_in(key, i)
