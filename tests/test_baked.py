@@ -322,3 +322,67 @@ def test_incremental_baker_cold_start_uses_global_scale(trained):
     for _ in range(baker.n_blocks - 1):
         baker.update_next_block(params)
         assert baker._alpha_scale >= 0.9 * global_scale - 1e-9
+
+
+def _two_plane_scene(cell=0.1):
+    """Hand-built BakedScene: a sparse near plane (class 1) at z=2 in
+    front of a dense far plane (class 2) at z=6, camera at the origin
+    looking +z. Near splat centers sit `cell` apart, so with f=120 they
+    project 6 px apart with a 3 px footprint radius — pixel rays between
+    centers would pierce to the far plane without footprint
+    propagation (the round-3/4 fidelity runs' 0.76 m depth MAE)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from autolabel_tpu.render.baked import BakedScene
+
+    near = np.array([[x, y, 2.0] for x, y in itertools.product(
+        np.arange(-0.8, 0.81, cell), repeat=2)], np.float32)
+    far_step = 6.0 / 120.0  # ~1 px at z=6: dense, no gaps of its own
+    far = np.array([[x, y, 6.0] for x, y in itertools.product(
+        np.arange(-6.0, 6.01, far_step), repeat=2)], np.float32)
+    points = np.concatenate([near, far])
+    rgb = np.concatenate([np.tile([1.0, 0.0, 0.0], (len(near), 1)),
+                          np.tile([0.0, 0.0, 1.0], (len(far), 1))]
+                         ).astype(np.float32)
+    semantic = np.concatenate([np.ones(len(near)), np.full(len(far), 2)]
+                              ).astype(np.int32)
+    return BakedScene(points=jnp.asarray(points), rgb=jnp.asarray(rgb),
+                      semantic=jnp.asarray(semantic),
+                      valid=jnp.ones(len(points), bool), cell_size=cell)
+
+
+def test_footprint_propagation_stops_piercing():
+    """Pixels between near-plane splat centers must show the NEAR
+    surface (footprint-covered), not the far plane their exact ray
+    hits — and the near plane must not dilate far past its physical
+    footprint into regions only the far plane occupies."""
+    intrinsics = np.array([[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1]],
+                          np.float32)
+    renderer = BakedRenderer(_two_plane_scene())
+    out = renderer.render(intrinsics, np.eye(4, dtype=np.float32),
+                          (64, 64))
+    sem = np.asarray(out['semantic'])
+    depth = np.asarray(out['depth'])
+
+    # Interior of the near plane's projection: x,y in [-0.6, 0.6] at
+    # z=2 -> px in [32-36, 32+36]. Every pixel there must read the near
+    # plane: class 1 at depth ~2 (one cell of tolerance).
+    inner = np.s_[32 - 30:32 + 30, 32 - 30:32 + 30]
+    assert (sem[inner] == 1).all(), (sem[inner] == 1).mean()
+    assert np.abs(depth[inner] - 2.0).max() < 0.2
+
+    # Far outside the near plane's edge (+ footprint radius 3 px +
+    # rounding): only the far plane. The near plane's edge projects to
+    # 32 +/- 0.8*120/2 = 32 +/- 48 -> off this 64x64 frame entirely;
+    # check the far-only region of a wider frame instead.
+    out_wide = renderer.render(
+        np.array([[40.0, 0, 64], [0, 40.0, 64], [0, 0, 1]], np.float32),
+        np.eye(4, dtype=np.float32), (128, 128))
+    sem_w = np.asarray(out_wide['semantic'])
+    # Near-plane edge at 0.8 * 40 / 2 = 16 px from center; footprint
+    # radius 40*0.1/4 = 1 px. Beyond ring 64 +/- 20 everything visible
+    # is the far plane.
+    far_band = sem_w[64 + 24:64 + 30, 64 - 30:64 + 30]
+    assert (far_band == 2).all(), (far_band == 2).mean()
