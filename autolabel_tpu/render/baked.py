@@ -231,7 +231,12 @@ def _splat_render(points, rgb, sh, semantic, valid, intrinsics, T_CW,
                 nc = jnp.roll(classes, (dy, dx), axis=(0, 1))
                 nh = jnp.roll(hit, (dy, dx), axis=(0, 1))
                 rad_px = cell * focal / (2.0 * jnp.maximum(nd, 1e-6))
-                reach = jnp.where(hit, rad_px, 2.0 * rad_px) >= ring
+                # + 0.5: the splat center sits anywhere within its
+                # landing pixel, so its footprint extends up to
+                # rad + 0.5 px from that pixel's center — without this
+                # a factor-4 wall (rad ~0.8 px, centers ~1.6 px apart)
+                # could never reclaim the pixels its rays pierce.
+                reach = jnp.where(hit, rad_px, 2.0 * rad_px) + 0.5 >= ring
                 take = nh & reach & (nd < jnp.minimum(beat, best_d))
                 best_d = jnp.where(take, nd, best_d)
                 best_i = jnp.where(take[..., None], ni, best_i)
