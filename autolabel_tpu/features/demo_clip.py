@@ -266,7 +266,14 @@ def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=2500,
         'text': clip_text_jax.init_params(k_txt, config),
         'logit_scale': jnp.asarray(2.0),  # learned InfoNCE temperature
     }
-    tx = optax.adam(lr)
+    # The 192x3 tower diverges late under bare Adam at this lr (loss NaN
+    # ~iter 2000, measured round 5: the learned temperature and the hard-
+    # negative columns sharpen the softmax until one bad batch spikes the
+    # gradient). Clip + reject non-finite updates, same recipe as the
+    # main trainer's apply_if_finite path.
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr)),
+        max_consecutive_errors=100)
     opt_state = tx.init(params)
 
     c = len(class_ids)
