@@ -13,7 +13,7 @@ import pandas
 import pytest
 
 # Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -13,7 +13,7 @@ from autolabel_tpu.train.losses import LossOptions
 from autolabel_tpu.train.trainer import SimpleTrainer
 
 # Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
 
 
 

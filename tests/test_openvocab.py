@@ -19,7 +19,7 @@ from autolabel_tpu.ops.encoders import HashGridConfig
 from autolabel_tpu.utils.ply import write_ply_pointcloud
 
 # Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
 
 
 LABEL_MAP = pandas.DataFrame({'id': [1, 2],

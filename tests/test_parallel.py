@@ -18,7 +18,7 @@ from autolabel_tpu.train.trainer import SimpleTrainer
 import pytest
 
 # Training/compile-heavy: excluded from the smoke tier (pytest -m 'not slow').
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
 
 
 TINY_GRID = HashGridConfig(n_levels=4,
