@@ -117,7 +117,15 @@ def main():
     loader = PrefetchIterator(LenDataset(dataset, iters_per_epoch),
                               transform=trainer._device_batch)
     start = time.perf_counter()
-    trainer.train(loader, epochs, iters_per_epoch)
+    for epoch in range(epochs):
+        trainer.train(loader, 1, iters_per_epoch)
+        # Liveness print (round-5 tunnel lesson: a run that prints
+        # nothing until the end is indistinguishable from a wedged one).
+        # Deliberately fetch-free — dispatch wall-clock only; the
+        # SYNC_EVERY bound keeps it loosely coupled to real execution.
+        print(f'[grid_quality_ab] epoch {epoch + 1}/{epochs} dispatched '
+              f't={time.perf_counter() - start:.0f}s',
+              file=sys.stderr, flush=True)
     # Fetch-fence the queued steps before reading the clock.
     _ = np.asarray(trainer.state['params']['sigma_net'][0][0]).ravel()[0]
     wall = time.perf_counter() - start
