@@ -266,13 +266,19 @@ def train_demo_teacher(scene_dir, out_path, prompt_bank=None, iters=2500,
         'text': clip_text_jax.init_params(k_txt, config),
         'logit_scale': jnp.asarray(2.0),  # learned InfoNCE temperature
     }
-    # The 192x3 tower diverges late under bare Adam at this lr (loss NaN
-    # ~iter 2000, measured round 5: the learned temperature and the hard-
-    # negative columns sharpen the softmax until one bad batch spikes the
-    # gradient). Clip + reject non-finite updates, same recipe as the
-    # main trainer's apply_if_finite path.
+    # The 192x3 tower diverges late under bare Adam at a constant lr
+    # (loss NaN ~iter 2000, measured round 5: the learned temperature
+    # and the hard-negative columns sharpen the softmax until one bad
+    # batch spikes the gradient); clipping alone kept it finite but the
+    # loss oscillated and never converged (0.17 -> 0.40 between logs).
+    # The CLIP recipe itself is the fix: short warmup + cosine decay to
+    # zero, so the late sharpened-softmax phase takes small steps, plus
+    # clip + reject non-finite updates like the main trainer.
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr,
+        warmup_steps=max(iters // 20, 1), decay_steps=iters)
     tx = optax.apply_if_finite(
-        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr)),
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule)),
         max_consecutive_errors=100)
     opt_state = tx.init(params)
 

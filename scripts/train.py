@@ -227,6 +227,19 @@ def main():
         occupancy.mark_untrained_grid(dataset.poses, dataset.intrinsics,
                                       dataset.camera.size)
 
+    if not flags.no_metrics:
+        import jax
+        if jax.default_backend() == 'axon':
+            # Measured twice (rounds 4 and 5): the per-epoch metrics
+            # fetch pays the tunnel's first-fetch handshake (40-400 s)
+            # and then degrades EVERY subsequent dispatch to ~600 ms —
+            # a 10k-iter run that trains in ~2 min fetch-free crawls
+            # for 90+ min with metrics on.
+            print('WARNING: per-epoch metrics fetches cripple tunneled-'
+                  'TPU (axon) training throughput; pass --no-metrics '
+                  'for long runs on this runtime.',
+                  file=sys.stderr, flush=True)
+
     model_dir = model_utils.model_dir(flags.scene, flags)
     model_utils.write_params(model_dir, flags)
     pose_refine = None
